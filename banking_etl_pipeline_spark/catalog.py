@@ -1,0 +1,56 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The engine's data model is row-logical / columnar-physical relational tables
+(reference data model, SURVEY.md §1): every table is a parquet-backed
+DataFrame; schema is the parquet footer (no inference jobs). Reading through
+this catalog keeps column pruning + predicate pushdown intact — callers
+`.select()`/`.filter()` and Catalyst pushes both into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Plain parquet scan → vectorized reader, pushdown.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as a long
+    (see session.py nanosAsLong); convert to a µs timestamp with integer
+    division — identical truncation to DuckDB's ns→µs handling, so both
+    engines see the same values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators are reachable via
+    `spark.sql` too (engine lifecycle, SURVEY.md §3)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

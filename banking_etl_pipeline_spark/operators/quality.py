@@ -1,0 +1,258 @@
+"""Data-quality library (reference SURVEY.md §2.7, `data_quality.py:22-204`).
+
+The reference runs one Spark job per check (`filter().count()` per column —
+`data_quality.py:37-43,69-72,101-103`). At 100 TB that is N full scans. This
+engine computes **all checks of a table in a single aggregate pass**: one
+scan, one partial+final hash agg, one row out. Referential-integrity checks
+(necessarily a join) use distinct-projection + left-anti join, with the PK
+side reduced before the join.
+
+Two surfaces:
+  * `QualityChecker` — the reusable library with the reference's
+    config-driven runner semantics (`run_all_checks`, fail-open/closed);
+  * oracle-checked queries exposing each check shape on the test tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..spec import QuerySpec
+
+# ---------------------------------------------------------------------------
+# Library
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RangeRule:
+    column: str
+    min_value: float
+    max_value: float
+
+
+@dataclass
+class QualityConfig:
+    """≅ the per-entity `quality_checks` block of config/config.json:31-61."""
+
+    required_columns: list[str] = field(default_factory=list)  # null checks
+    key_columns: list[str] = field(default_factory=list)  # duplicate checks
+    range_rules: list[RangeRule] = field(default_factory=list)
+    fail_on_quality_check: bool = True
+
+
+class QualityChecker:
+    """Single-pass implementation of null/duplicate/range checks.
+
+    `run_all_checks` ≅ data_quality.py:158-204 but issues ONE aggregation job
+    for every null+range rule and one countDistinct job for duplicates,
+    instead of the reference's O(checks) jobs.
+    """
+
+    def null_check_exprs(self, cols: list[str]) -> list:
+        return [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_count_{c}")
+            for c in cols
+        ]
+
+    def range_check_exprs(self, rules: list[RangeRule]) -> list:
+        return [
+            F.sum(
+                ((F.col(r.column) < r.min_value) | (F.col(r.column) > r.max_value))
+                .cast("long")
+            ).alias(f"range_violations_{r.column}")
+            for r in rules
+        ]
+
+    def duplicate_count(self, df: DataFrame, key_columns: list[str]) -> int:
+        # total − distinct(keys) ≅ data_quality.py:69-75, one job
+        row = df.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct(*key_columns).alias("distinct_keys"),
+        ).collect()[0]
+        return row["total"] - row["distinct_keys"]
+
+    def orphan_count(
+        self, fk_df: DataFrame, fk_col: str, pk_df: DataFrame, pk_col: str
+    ) -> int:
+        # distinct FK projection then anti-join ≅ data_quality.py:137-147;
+        # distinct-before-join shrinks both shuffle sides.
+        fks = fk_df.select(F.col(fk_col).alias("fk")).distinct()
+        pks = pk_df.select(F.col(pk_col).alias("fk")).distinct()
+        return fks.join(pks, "fk", "left_anti").count()
+
+    def run_all_checks(self, df: DataFrame, config: QualityConfig) -> dict[str, Any]:
+        exprs = [F.count(F.lit(1)).alias("total_rows")]
+        exprs += self.null_check_exprs(config.required_columns)
+        exprs += self.range_check_exprs(config.range_rules)
+        if config.key_columns:
+            exprs.append(
+                (F.count(F.lit(1)) - F.countDistinct(*config.key_columns)).alias(
+                    "duplicate_count"
+                )
+            )
+        row = df.agg(*exprs).collect()[0].asDict()
+
+        null_counts = {
+            c: row[f"null_count_{c}"] for c in config.required_columns
+        }
+        range_violations = {
+            r.column: row[f"range_violations_{r.column}"] for r in config.range_rules
+        }
+        dup = row.get("duplicate_count", 0) or 0
+        passed = (
+            all(v == 0 for v in null_counts.values())
+            and all(v == 0 for v in range_violations.values())
+            and dup == 0
+        )
+        return {
+            "total_rows": row["total_rows"],
+            "null_counts": null_counts,
+            "range_violations": range_violations,
+            "duplicate_count": dup,
+            "overall_passed": passed,
+        }
+
+
+class QualityGateError(RuntimeError):
+    """Raised when a pipeline's quality gate fails closed (≅ main.py:122-126)."""
+
+
+def apply_quality_gate(result: dict[str, Any], fail_on_quality_check: bool) -> None:
+    if not result["overall_passed"] and fail_on_quality_check:
+        raise QualityGateError(f"quality checks failed: {result}")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query surfaces (each check = one 1-row aggregate)
+# ---------------------------------------------------------------------------
+
+
+def dq_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1, single-pass over several columns; nulls synthesized via NULLIF so
+    # the non-zero path is exercised (testdata is null-free).
+    e = table(spark, sf_dir, "events")
+    probe = e.select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et"),
+        F.nullif(F.col("user_id"), F.lit(7)).alias("uid"),
+        "value",
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col("et").isNull().cast("long")).alias("null_count_et"),
+        F.sum(F.col("uid").isNull().cast("long")).alias("null_count_uid"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_count_value"),
+    )
+
+
+DQ_NULL_COUNTS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count_et,
+       CAST(SUM(CASE WHEN NULLIF(user_id, 7) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count_uid,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count_value
+FROM events
+"""
+
+
+def dq_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 on a synthetic-duplicate input: orders keyed by a truncated key so
+    # duplicates exist (o_orderkey/10), single pass total − distinct.
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select((F.col("o_orderkey") / F.lit(10)).cast("long").alias("key10"))
+    return keyed.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("key10").alias("distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("key10")).alias("duplicate_count"),
+    )
+
+
+DQ_DUP_COUNT_SQL = """
+WITH keyed AS (SELECT CAST(o_orderkey // 10 AS BIGINT) AS key10 FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT key10) AS BIGINT) AS distinct_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT key10) AS BIGINT) AS duplicate_count
+FROM keyed
+"""
+
+
+def dq_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q3: per-column out-of-range counts, single aggregate pass.
+    li = table(spark, sf_dir, "lineitem")
+    checker = QualityChecker()
+    rules = [
+        RangeRule("l_quantity", 1, 40),
+        RangeRule("l_discount", 0.0, 0.08),
+        RangeRule("l_extendedprice", 0.0, 80000.0),
+    ]
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"), *checker.range_check_exprs(rules)
+    )
+
+
+DQ_RANGE_VIOLATIONS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT)
+           AS range_violations_l_quantity,
+       CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+           AS range_violations_l_discount,
+       CAST(SUM(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 80000.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS range_violations_l_extendedprice
+FROM lineitem
+"""
+
+
+def dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: referential integrity. The real FKs are clean (0 orphans — the
+    zero path), plus a synthetic broken FK (user_id+2000 vs customer) for the
+    non-zero path. distinct → anti-join → count, both sides reduced."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+
+    clean = (
+        li.select(F.col("l_partkey").alias("fk"))
+        .distinct()
+        .join(p.select(F.col("p_partkey").alias("fk")).distinct(), "fk", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("n").alias("orphan_partkeys"))
+    )
+    broken = (
+        e.select((F.col("user_id") + 2000).alias("fk"))
+        .distinct()
+        .join(
+            c.select(F.col("c_custkey").alias("fk")).distinct(), "fk", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("n").alias("orphan_userkeys"))
+    )
+    return clean.crossJoin(broken)
+
+
+DQ_ORPHANS_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT l_partkey FROM lineitem) f
+     WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = f.l_partkey))
+    AS orphan_partkeys,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT user_id + 2000 AS fk FROM events) f
+     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = f.fk))
+    AS orphan_userkeys
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dq_null_counts": QuerySpec(dq_null_counts, DQ_NULL_COUNTS_SQL, "single-pass null counts (Q1)"),
+    "dq_dup_count": QuerySpec(dq_dup_count, DQ_DUP_COUNT_SQL, "duplicate-key count (Q2)"),
+    "dq_range_violations": QuerySpec(dq_range_violations, DQ_RANGE_VIOLATIONS_SQL, "range-violation counts (Q3)"),
+    "dq_orphans": QuerySpec(dq_orphans, DQ_ORPHANS_SQL, "referential integrity (Q4)"),
+}

@@ -1,0 +1,627 @@
+"""Core relational operators (reference SURVEY.md §2.3-§2.5, §2.9 gaps).
+
+Each query re-expresses a reference operator over the TPC-H-ish test tables:
+projection/filtering/CASE-WHEN standardization mirror
+`transaction_transform.py:22-91`, grouped statistics + the left stats-join +
+3σ anomaly flags mirror `transaction_transform.py:137-179`, and the set/cube/
+ranking/json surfaces fill the reference's explicit gaps (SURVEY.md §2.9)
+which Spark provides natively.
+
+Everything is declarative DataFrame API — filters and projections reach the
+parquet scan (PushedFilters/ReadSchema), aggregations are partial+final hash
+aggregates, the small stats side of joins is broadcast — so the same plans
+hold at 100 TB with no code change.
+
+Cross-engine numeric policy (see functions/numeric.py): money aggregates are
+accumulated as long-integer cents — exact, summation-order-independent, hence
+bit-identical across engines after the cast to double, and faster than double
+sums in codegen (this keeps the reference's DecimalType(18,2) money semantics,
+data_seed.py:40,49, without decimal's 10× runtime cost). Averages are
+cents-sum ÷ count in double. Only stddev stays in floating point, with a
+half-up floor discretization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent exact money sum: long-cents accumulate, double out
+    (exact up to 2^53 cents; see functions/numeric.py)."""
+    return F.sum(cents(col)).cast("double") / F.lit(100.0)
+
+
+def _davg(col: Column) -> Column:
+    """Exact cents-sum ÷ count, in double → bit-identical across engines."""
+    return (F.sum(cents(col)).cast("double") / F.lit(100.0)) / F.count(F.lit(1))
+
+
+def _r2(col: Column) -> Column:
+    """Half-up 2-decimal discretization for genuinely-floating stats."""
+    return F.floor(col * 100.0 + 0.5) / 100.0
+
+
+_CENTS = "CAST(FLOOR(({x}) * 100.0 + 0.5) AS BIGINT)"
+_DSUM = "CAST(SUM(CAST(FLOOR(({x}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+_DAVG = "(CAST(SUM(CAST(FLOOR(({x}) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*)"
+_R2 = "FLOOR(({x}) * 100.0 + 0.5) / 100.0"
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (filter + CASE arithmetic + groupBy multi-agg +
+# sort). The analytic shape of `transaction_transform.py:150-154` widened to
+# a TPC-H-Q1-style report.
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # fixed-point: price in cents (10^2), discount/tax factors in hundredths
+    # (10^2) → products are exact longs at scale 10^4 / 10^6.
+    pc = cents(F.col("l_extendedprice"))
+    disc_factor = F.lit(100) - cents(F.col("l_discount"))
+    tax_factor = F.lit(100) + cents(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(pc * disc_factor).cast("double") / F.lit(1.0e4)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(pc * disc_factor * tax_factor).cast("double") / F.lit(1.0e6)).alias(
+                "sum_charge"
+            ),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')}      AS sum_qty,
+       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT) * (100 - CAST(FLOOR((l_discount) * 100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT) * (100 - CAST(FLOOR((l_discount) * 100.0 + 0.5) AS BIGINT)) * (100 + CAST(FLOOR((l_tax) * 100.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+       {_DAVG.format(x='l_quantity')}      AS avg_qty,
+       {_DAVG.format(x='l_extendedprice')} AS avg_price,
+       {_DAVG.format(x='l_discount')}      AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Projection / filters (P1, P3-P5) ≅ transaction_transform.py:42, data_quality.py
+# ---------------------------------------------------------------------------
+
+
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+PROJECT_SQL = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ `~((type == 'deposit') & (amount < 0))` at transaction_transform.py:42
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ~((F.col("l_returnflag") == "A") & (F.col("l_quantity") < 25))
+        & (F.col("l_discount") > 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount")
+
+
+FILTER_COMPOUND_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+FROM lineitem
+WHERE NOT (l_returnflag = 'A' AND l_quantity < 25) AND l_discount > 0.02
+"""
+
+
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # isNull predicate (data_quality.py:39); testdata has no organic nulls so
+    # they are synthesized with NULLIF — identically in the oracle.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("status_nulled", F.nullif(F.col("o_orderstatus"), F.lit("O")))
+        .filter(F.col("status_nulled").isNull())
+        .select("o_orderkey", "status_nulled")
+    )
+
+
+FILTER_NULL_SQL = """
+SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_nulled
+FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NULL
+"""
+
+
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ filter(col.contains("ERROR")) at monitor.py:33
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("spark")).select("doc_id", "source", "n_chars")
+
+
+FILTER_CONTAINS_SQL = """
+SELECT doc_id, source, n_chars FROM documents WHERE contains(text, 'spark')
+"""
+
+
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ (col < min) | (col > max) at data_quality.py:101-103
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_totalprice") < 5000) | (F.col("o_totalprice") > 400000)
+    ).select("o_orderkey", "o_totalprice")
+
+
+FILTER_RANGE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice < 5000 OR o_totalprice > 400000
+"""
+
+# ---------------------------------------------------------------------------
+# CASE WHEN standardization / bucketing (P6-P7) ≅ transaction_transform.py:45-91
+# ---------------------------------------------------------------------------
+
+
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucketed = o.withColumn(
+        "price_tier",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large"),
+    ).withColumn(
+        "priority_class",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite").otherwise(
+            "normal"
+        ),
+    )
+    return (
+        bucketed.groupBy("price_tier", "priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_value"),
+        )
+        .orderBy("price_tier", "priority_class")
+    )
+
+
+CASE_WHEN_BUCKET_SQL = f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_tier,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+            ELSE 'normal' END AS priority_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_DSUM.format(x='o_totalprice')} AS total_value
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ df.na.fill("Unknown", [cols]) at transaction_transform.py:39
+    # (nulls synthesized via NULLIF since testdata is null-free).
+    li = table(spark, sf_dir, "lineitem")
+    filled = li.withColumn(
+        "linestatus_nulled", F.nullif(F.col("l_linestatus"), F.lit("O"))
+    ).na.fill({"linestatus_nulled": "Unknown"})
+    return (
+        filled.groupBy("linestatus_nulled")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("linestatus_nulled")
+    )
+
+
+NULL_FILL_SQL = """
+SELECT COALESCE(NULLIF(l_linestatus, 'O'), 'Unknown') AS linestatus_nulled,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Timestamp parse + date parts (P9-P10) ≅ transaction_transform.py:35-36,67-71
+# ---------------------------------------------------------------------------
+
+
+def parse_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string → timestamp with explicit format; round-trips events.ts through
+    # the raw-zone string form used by the reference CSV zone.
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("parsed_ts"),
+    )
+
+
+PARSE_TIMESTAMP_SQL = """
+SELECT event_id,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+FROM events
+"""
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),  # 1 = Sunday (Spark convention)
+        (F.dayofweek("ts").isin(1, 7)).alias("is_weekend"),
+    )
+
+
+DATE_PARTS_SQL = """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER)          AS y,
+       CAST(month(ts) AS INTEGER)         AS m,
+       CAST(dayofmonth(ts) AS INTEGER)    AS d,
+       CAST(hour(ts) AS INTEGER)          AS h,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       (dayofweek(ts) + 1) IN (1, 7)      AS is_weekend
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Sort + limit (P14) ≅ monitor.py:15 — deterministic via unique tie-break
+# ---------------------------------------------------------------------------
+
+
+def topk_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5) ≅ transaction_transform.py:150-154, data_quality.py:69-75
+# ---------------------------------------------------------------------------
+
+
+def groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r2(F.stddev("l_extendedprice")).alias("stddev_price"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+GROUPBY_STATS_SQL = f"""
+SELECT l_returnflag,
+       {_R2.format(x='STDDEV_SAMP(l_extendedprice)')} AS stddev_price,
+       {_DAVG.format(x='l_extendedprice')}            AS avg_price,
+       MAX(l_extendedprice)                           AS max_price,
+       CAST(COUNT(*) AS BIGINT)                       AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+COUNT_ROWS_SQL = "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
+
+
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass total vs distinct (vs the reference's two jobs at
+    # data_quality.py:69-75)
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey")).alias("dup_count"),
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS dup_count
+FROM lineitem
+"""
+
+
+def conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum(when(cond, col).otherwise(0)) ≅ transaction_transform.py:131-133
+    li = table(spark, sf_dir, "lineitem")
+    returned = F.when(
+        F.col("l_returnflag") == "A", F.col("l_extendedprice")
+    ).otherwise(F.lit(0.0))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            _dsum(returned).alias("returned_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+CONDITIONAL_SUM_SQL = f"""
+SELECT l_linestatus,
+       {_DSUM.format(x="CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0.0 END")}
+           AS returned_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J2) ≅ transaction_transform.py:157, data_quality.py:143-147
+# ---------------------------------------------------------------------------
+
+
+def join_left_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key stats self-join + outlier flag (the reference's anomaly core).
+    The stats side is orders-of-magnitude smaller than the fact → broadcast;
+    AQE picks it automatically, the plan is shuffle(groupBy) + broadcast join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_orderkey").agg(
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.stddev("l_extendedprice").alias("stddev_price"),
+    )
+    joined = li.join(stats, on="l_orderkey", how="left")
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("avg_price").alias("order_avg_price"),
+        F.coalesce(
+            F.col("l_extendedprice")
+            > F.col("avg_price") + 2 * F.col("stddev_price"),
+            F.lit(False),
+        ).alias("is_outlier"),
+    )
+
+
+JOIN_LEFT_STATS_SQL = f"""
+WITH stats AS (
+  SELECT l_orderkey,
+         {_DAVG.format(x='l_extendedprice')} AS avg_price,
+         STDDEV_SAMP(l_extendedprice)        AS stddev_price
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       s.avg_price AS order_avg_price,
+       COALESCE(l.l_extendedprice > s.avg_price + 2 * s.stddev_price, FALSE)
+           AS is_outlier
+FROM lineitem l LEFT JOIN stats s ON l.l_orderkey = s.l_orderkey
+"""
+
+
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left-anti orphan/absence detection ≅ data_quality.py:143-147.
+    # "customers with no high-value orders" so the result is non-trivial.
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+JOIN_LEFT_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Composed anomaly flags (P13) ≅ transaction_transform.py:137-179
+# ---------------------------------------------------------------------------
+
+
+def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based anomaly detection re-expressed on orders: per-customer 3σ
+    large-order flag, weekend flag, absolute threshold flag — the same three
+    rule shapes as transaction_transform.py:160-177."""
+    o = table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg"),
+        F.stddev("o_totalprice").alias("cust_std"),
+    )
+    flagged = o.join(F.broadcast(stats), on="o_custkey", how="left")
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(
+            F.col("o_totalprice") > F.col("cust_avg") + 3 * F.col("cust_std"),
+            F.lit(False),
+        ).alias("is_large_order"),
+        F.dayofweek("o_orderdate").isin(1, 7).alias("is_weekend"),
+        (F.col("o_totalprice") > 350000).alias("is_high_value"),
+    )
+
+
+ANOMALY_FLAGS_SQL = """
+WITH stats AS (
+  SELECT o_custkey, AVG(o_totalprice) AS cust_avg, STDDEV_SAMP(o_totalprice) AS cust_std
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       COALESCE(o.o_totalprice > s.cust_avg + 3 * s.cust_std, FALSE) AS is_large_order,
+       (dayofweek(o.o_orderdate) + 1) IN (1, 7) AS is_weekend,
+       o.o_totalprice > 350000 AS is_high_value
+FROM orders o LEFT JOIN stats s ON o.o_custkey = s.o_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# Surfaces the reference lacks but Spark gives for free (SURVEY.md §2.9):
+# ranking windows, rollup, set ops, JSON extraction.
+# ---------------------------------------------------------------------------
+
+
+def ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+RANKING_SQL = """
+SELECT * FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+         CAST(RANK() OVER w AS INTEGER)       AS rnk,
+         CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+         CAST(NTILE(4) OVER w AS INTEGER)     AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 5
+"""
+
+
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics in both engines)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    big_order_cust = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        building.union(rich)
+        .distinct()
+        .intersect(c.select(F.col("c_custkey").alias("custkey")))
+        .subtract(big_order_cust)
+    )
+
+
+SET_OPS_SQL = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+INTERSECT
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON props surface for the `events` stream table (SURVEY.md §2.9 / §7.8)
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*)
+           AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
+    "project": QuerySpec(project, PROJECT_SQL, "column projection (P1)"),
+    "filter_compound": QuerySpec(filter_compound, FILTER_COMPOUND_SQL, "compound boolean filter (P3)"),
+    "filter_null": QuerySpec(filter_null, FILTER_NULL_SQL, "null predicate (P4)"),
+    "filter_contains": QuerySpec(filter_contains, FILTER_CONTAINS_SQL, "substring filter (P4)"),
+    "filter_range": QuerySpec(filter_range, FILTER_RANGE_SQL, "range predicate (P5)"),
+    "case_when_bucket": QuerySpec(case_when_bucket, CASE_WHEN_BUCKET_SQL, "CASE WHEN standardize/bucket (P6-P7)"),
+    "null_fill": QuerySpec(null_fill, NULL_FILL_SQL, "na.fill (P8)"),
+    "parse_timestamp": QuerySpec(parse_timestamp, PARSE_TIMESTAMP_SQL, "string→timestamp (P9)"),
+    "date_parts": QuerySpec(date_parts, DATE_PARTS_SQL, "date-part extraction (P10)"),
+    "topk_orderby_limit": QuerySpec(topk_orderby_limit, TOPK_SQL, "sort desc + limit (P14)"),
+    "groupby_stats": QuerySpec(groupby_stats, GROUPBY_STATS_SQL, "groupBy multi-agg (A1)"),
+    "count_rows": QuerySpec(count_rows, COUNT_ROWS_SQL, "global count (A2)"),
+    "count_distinct": QuerySpec(count_distinct, COUNT_DISTINCT_SQL, "distinct counting (A3-A4)"),
+    "conditional_sum": QuerySpec(conditional_sum, CONDITIONAL_SUM_SQL, "sum(when(...)) (A5)"),
+    "join_left_stats": QuerySpec(join_left_stats, JOIN_LEFT_STATS_SQL, "left join to per-key stats (J1)"),
+    "join_left_anti": QuerySpec(join_left_anti, JOIN_LEFT_ANTI_SQL, "left-anti join (J2)"),
+    "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_FLAGS_SQL, "3σ + rule flags (P13)"),
+    "ranking": QuerySpec(ranking, RANKING_SQL, "ranking window functions"),
+    "cube_rollup": QuerySpec(cube_rollup, CUBE_ROLLUP_SQL, "rollup aggregate"),
+    "set_ops": QuerySpec(set_ops, SET_OPS_SQL, "union/intersect/except"),
+    "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL, "JSON field extraction"),
+}

@@ -1,0 +1,264 @@
+"""Window metrics (reference SURVEY.md §2.6 — the analytic heart).
+
+Re-expresses the reference's per-account running balance, lag/event-gap and
+30-day range-frame rolling metrics (`transaction_transform.py:105-133`) over
+the `events` stream table (partition by `user_id`, order by `ts`), plus the
+sessionization and as-of-join surfaces a stream table implies.
+
+Determinism: orderings carry `event_id` as a unique tie-break; the range
+frame orders by epoch **seconds** cast to long (the reference range-orders a
+raw timestamp, which Spark interprets numerically — we make the cast
+explicit, semantics preserved; SURVEY.md §2.6-W3).
+
+Scale: one shuffle per query (hash by user_id), then all window work is
+within-partition sort + scan. 150 users at sf0.1 → millions of users at
+100 TB: partition count rides shuffle.partitions/AQE, skewed users are
+bounded by per-user event counts, and the as-of join avoids a range
+cross-join entirely (union + last-carry-forward, one shuffle, no blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+
+# 7-day frame (the events table spans 30 days; the reference used 30 over 90).
+RANGE_SECONDS = 7 * 86400
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ cumulative balance: sum(amount_signed) over (partition account order ts)
+    # transaction_transform.py:108-115. Default frame = RANGE UNBOUNDED
+    # PRECEDING..CURRENT ROW in both engines → peers included → deterministic.
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    signed = F.when(F.col("event_type") == "error", -F.col("value")).otherwise(
+        F.col("value")
+    )
+    # decimal window-sum: exact and summation-order-independent, so the
+    # double cast is bit-identical to the oracle (DuckDB's segment-tree
+    # window accumulation would otherwise differ in last-ulp noise).
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents(signed)).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR((CASE WHEN event_type = 'error' THEN -value ELSE value END)
+                         * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) / 100.0
+           AS running_value
+FROM events
+"""
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ≅ lag(transaction_date) + datediff at transaction_transform.py:118-123
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts", 1).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("gap_seconds"),
+        F.datediff(F.col("ts").cast("date"), prev_ts.cast("date")).alias("gap_days"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       LAG(value, 1) OVER w AS prev_value,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(LAG(ts, 1) OVER w)) AS BIGINT) AS gap_seconds,
+       CAST(date_diff('day', CAST(LAG(ts, 1) OVER w AS DATE), CAST(ts AS DATE))
+            AS INTEGER) AS gap_days
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding range-frame rolling count + conditional sum ≅
+    transaction_transform.py:126-133 (30-day frame there, 7-day here).
+    Epoch-seconds ordering makes the range frame's numeric semantics explicit.
+    """
+    e = table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-RANGE_SECONDS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        (
+            F.sum(
+                cents(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+            )
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("purchase_value_7d"),
+    )
+
+
+WINDOW_RANGE_7D_SQL = f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_7d,
+       CAST(SUM(CAST(FLOOR((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+                         * 100.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+           AS purchase_value_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {RANGE_SECONDS} PRECEDING AND CURRENT ROW)
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+    lag + cumulative sum of boundary flags — one shuffle, no UDF."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    sessioned = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.sum(cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq
+  FROM gapped
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(FLOOR((value) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of the same customer at
+    or before the event time (events.user_id ⋈ orders.o_custkey).
+
+    Spark lacks a native ASOF JOIN; the scalable composition is the
+    union + last-value-carry-forward trick: tag both sides, sort within key
+    by (time, side), and carry the last order forward with
+    last(..., ignorenulls) — ONE shuffle on the join key, no range
+    cross-join, no per-key pandas. This is the plan you want at 100 TB:
+    cost ≈ sort-merge of the two inputs.
+
+    Orders are first deduped to one per (custkey, date) — ties broken by max
+    orderkey — because "the" as-of row must be unique for determinism.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+
+    o1 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .join(o, ["o_custkey", "o_orderdate", "o_orderkey"])
+    )
+    # NOTE: orders span 1995-2001, events 2024 → every event matches the
+    # customer's last order; the frame logic is still exercised end-to-end.
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = o1.select(
+        F.col("o_custkey").cast("long").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    unioned = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "k",
+        "t",
+        "side",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH o1 AS (
+  SELECT o.* FROM orders o
+  JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate) m
+  USING (o_custkey, o_orderdate, o_orderkey)
+)
+SELECT e.event_id, e.user_id,
+       o1.o_orderkey AS asof_orderkey,
+       o1.o_totalprice AS asof_totalprice
+FROM events e
+ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
+    "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
+    "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),
+    "sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL, "gap-based sessionization"),
+    "asof_join": QuerySpec(asof_join, ASOF_JOIN_SQL, "as-of join via union+carry-forward"),
+}

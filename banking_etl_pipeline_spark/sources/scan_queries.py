@@ -1,0 +1,68 @@
+"""Oracle-checked scan queries (S1/S2/S5 of SURVEY.md §2.1).
+
+CSV and text scans need CSV/text *inputs*; the testdata is parquet-only, so
+each scan query first materializes a deterministic CSV/text copy of a small
+table under /tmp (cached per sf_dir), reads it back through the engine's
+reader, and the oracle reads the original parquet view — a true round-trip
+equivalence check of the format reader, not a mock.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..spec import QuerySpec
+from .readers import read_csv, read_parquet, read_text
+
+_CACHE_ROOT = "/tmp/banking_etl_pipeline_spark_cache"
+
+
+def _cache_dir(sf_dir: str, kind: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_CACHE_ROOT, tag, kind)
+
+
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of `region` (int/string columns only — CSV-safe)."""
+    path = _cache_dir(sf_dir, "region_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(path)
+    return read_csv(
+        spark, path, header=True, schema="r_regionkey int, r_name string"
+    )
+
+
+SCAN_CSV_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, "nation.parquet"))
+
+
+SCAN_PARQUET_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-line scan of the documents corpus (one line per doc)."""
+    path = _cache_dir(sf_dir, "documents_txt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "documents").select("text").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
+    return read_text(spark, path)
+
+
+SCAN_TEXT_SQL = "SELECT text AS value FROM documents"
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL, "CSV scan round-trip (S1)"),
+    "scan_parquet": QuerySpec(scan_parquet, SCAN_PARQUET_SQL, "parquet scan (S2)"),
+    "scan_text": QuerySpec(scan_text, SCAN_TEXT_SQL, "text-line scan (S5)"),
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (foreach-noop action — full plan runs,
+nothing collected to the driver beyond what the query itself returns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from banking_etl_pipeline_spark.registry import all_queries
+from banking_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "join_left_stats",
+    "groupby_stats",
+    "window_range_7d",
+    "window_running_sum",
+    "sessionization",
+    "asof_join",
+    "anomaly_flags",
+    "json_extract",
+    "topk_orderby_limit",
+    "dq_range_violations",
+    "set_ops",
+    # extension operators (registered as they land)
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_brute_force",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    keys = [k for k in HEADLINE if k in queries]
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        df = queries[key].build(spark, sf_dir)
+        df.count()  # warm the IO path / JIT once per query plan
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
