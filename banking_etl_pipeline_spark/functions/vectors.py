@@ -1,0 +1,58 @@
+"""Vector math over ArrayType(FloatType) embedding columns.
+
+Built entirely from Spark higher-order functions (zip_with/aggregate/
+transform) — JVM-side, no Python UDF in the hot path. Accumulation is a
+sequential left fold in double, which is bit-identical to DuckDB's
+list_dot_product / list_reduce on DOUBLE[] (verified empirically), so cosine
+similarities compare exactly against the oracle with no rounding.
+
+At scale: these are narrow per-row expressions (no shuffle); a brute-force
+top-k is one broadcast-join + per-row fold, and LSH bucketing turns the
+quadratic candidate space into an equi-join on bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine(a, b) — callers pre-cast with as_double()."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+SQL_COSINE = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def hyperplane(plane_idx: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane for sign-LSH: weight for each
+    dimension d is derived from md5(plane '_' d), mapped to [-1, 1]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            md5_long(F.concat(F.lit(f"{plane_idx}_"), d.cast("string"))) % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )

@@ -1,0 +1,365 @@
+"""Deduplication operators over `documents`/`embeddings` (engine extension,
+BASELINE.json north star: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale design:
+- exact dedup: hash-groupBy on a content digest — one shuffle on md5(text),
+  the canonical 100 TB dedup plan.
+- n-gram Jaccard: shingle-explode + equi-join on shingle. Quadratic in the
+  worst case (hot shingles); kept as the exact/verification path. The scale
+  path is MinHash-LSH below.
+- MinHash-LSH: per-doc signature (linear scan), band-hash equi-join — the
+  classic sub-quadratic candidate generation; candidate pairs then verified
+  by signature agreement. All hashing is md5-derived (functions/hashing.py)
+  so the DuckDB oracle reproduces it bit-for-bit.
+- SimHash: 16-bit sign-hash per doc; equal-hash bucketing.
+- embedding-cosine: brute-force pair scan at test scale (exact oracle); the
+  sub-quadratic variant is operators/similarity.py's LSH bucketing.
+
+Every operator is pure Spark column expressions (higher-order functions) —
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
+from ..functions.vectors import as_double, dot
+from ..spec import QuerySpec
+
+N_HASHES = 16
+N_BANDS = 8  # × 2 rows per band
+JACCARD_THRESHOLD = 0.10
+MINHASH_EST_THRESHOLD = 0.20
+COSINE_DUP_THRESHOLD = 0.35
+
+
+# ---------------------------------------------------------------------------
+# shared shingling expressions (3-gram over whitespace tokens, distinct)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: Column) -> Column:
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)  # callers guard size >= 3
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split({x}, ' ')) - 1), "
+    "i -> string_split({x}, ' ')[i] || ' ' || string_split({x}, ' ')[i+1] "
+    "|| ' ' || string_split({x}, ' ')[i+2]))"
+)
+
+_MIN_TOKENS = "len(string_split(text, ' ')) >= 3"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy): corpus = documents ∪ shifted copy → true dups
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    keyed = corpus.withColumn("content_key", F.md5("text"))
+    groups = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_n")
+    )
+    return keyed.join(groups, "content_key").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        "group_n",
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+keyed AS (SELECT doc_id, md5(text) AS content_key FROM corpus),
+groups AS (
+  SELECT content_key, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_n
+  FROM keyed GROUP BY content_key
+)
+SELECT k.doc_id, k.doc_id = g.keep_id AS is_kept, g.group_n
+FROM keyed k JOIN groups g USING (content_key)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, shingle equi-join)
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = d.select("doc_id", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "common", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh
+  FROM documents WHERE {_MIN_TOKENS}
+),
+sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.common,
+       CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) AS jaccard
+FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (sub-quadratic candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def _signature(sh: Column) -> Column:
+    """16 minhashes: sig[j] = min over shingles of md5_long(j ':' shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh,
+                lambda s: md5_long(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+_SQL_SIGNATURE = (
+    f"list_transform(range(0, {N_HASHES}), j -> list_min(list_transform(sh, "
+    "s -> CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) "
+    "AS BIGINT))))"
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .select("doc_id", _signature(F.col("sh")).alias("sig"))
+    )
+    # band key: md5 of the 2 signature rows in each of 8 bands
+    bands = d.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.element_at(F.col("sig"), b * 2 + 1).cast("string"),
+                            F.element_at(F.col("sig"), b * 2 + 2).cast("string"),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: (x == y).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / float(N_HASHES)
+    )
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
+    )
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh
+  FROM documents WHERE {_MIN_TOKENS}
+),
+sigs AS (SELECT doc_id, {_SQL_SIGNATURE} AS sig FROM t),
+bands AS (
+  SELECT doc_id, sig, b.band,
+         md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || ','
+             || CAST(sig[b.band * 2 + 2] AS VARCHAR)) AS bh
+  FROM sigs, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         / {N_HASHES}.0 AS est_jaccard
+FROM cand
+WHERE CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
+              i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        / {N_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit sign hash + equal-hash bucketing)
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), md5_long).alias("th"),
+    )
+    def _bit_balance(j: int):
+        # 2-arg lambda per bit (Spark inspects lambda arity; closures only)
+        return lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    simhash = None
+    for j in range(16):
+        cnt_j = F.aggregate(F.col("th"), F.lit(0).cast("long"), _bit_balance(j))
+        bit = F.when(cnt_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    out = d.select("doc_id", simhash.cast("long").alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return out.select("doc_id", "simhash", F.count(F.lit(1)).over(w).alias("bucket_n"))
+
+
+def _sql_simhash_bits() -> str:
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), x -> {sql_md5_long('x')}) AS th
+  FROM documents
+),
+s AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM t)
+SELECT doc_id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_n
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact pair scan at test scale)
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content-hash groupBy"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "MinHash signature + LSH band join"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "16-bit SimHash bucketing"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "embedding cosine near-dup pairs"),
+}

@@ -1,0 +1,148 @@
+"""Multimodal-column plumbing (engine extension, BASELINE.json north star).
+
+Images/audio/video are opaque `binary` columns with typed metadata, processed
+by Arrow-batched `mapInPandas` operators. The image/audio decode libraries
+are not in this container, so the decode kernel is STUBBED: if PIL/librosa
+import fails (it does here), a clearly-marked deterministic fake produces
+metadata from the raw bytes. Everything Spark-side — binary schema, batch
+iterator shape, UDF signature, partitioning — is real and tested.
+
+The test corpus has no binary column, so `multimodal_decode` synthesizes one
+(utf-8 bytes of documents.text) before running the decode operator; the
+DuckDB oracle reproduces the deterministic fake arithmetic from byte lengths.
+
+At scale: mapInPandas streams Arrow batches — constant memory per task, no
+row-at-a-time serde; decode parallelism is the file-partition count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..spec import QuerySpec
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_channels int, ok boolean"
+)
+
+
+def _try_real_decode(data: bytes):  # pragma: no cover - libs absent here
+    """Real decode path — requires pillow; absent in this environment."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires pillow; install PIL or rely on the "
+            "deterministic stub"
+        ) from exc
+    img = Image.open(io.BytesIO(data))
+    return img.width, img.height, len(img.getbands())
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: bytes → image metadata (stub: deterministic fake
+    derived from byte length, same formula as the oracle SQL)."""
+    for pdf in batches:
+        n_bytes = pdf["image_bytes"].map(len)
+        try:
+            widths, heights, chans, ok = [], [], [], []
+            for data in pdf["image_bytes"]:
+                w, h, c = _try_real_decode(bytes(data))
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+                ok.append(True)
+        except NotImplementedError:
+            # STUB: deterministic fake decode
+            widths = (n_bytes % 640 + 1).tolist()
+            heights = (n_bytes % 480 + 1).tolist()
+            chans = [3] * len(pdf)
+            ok = [False] * len(pdf)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": pd.Series(widths, index=pdf.index).astype("int32"),
+                "height": pd.Series(heights, index=pdf.index).astype("int32"),
+                "n_channels": pd.Series(chans, index=pdf.index).astype("int32"),
+                "ok": ok,
+            }
+        )
+
+
+def with_binary_column(df: DataFrame) -> DataFrame:
+    """Synthesize the opaque binary modality column (utf-8 of text)."""
+    return df.withColumn("image_bytes", F.encode(F.col("text"), "utf-8"))
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """The multimodal decode operator: binary column in, metadata out."""
+    return df.select("doc_id", "image_bytes").mapInPandas(
+        _decode_batches, schema=DECODE_SCHEMA
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_column(table(spark, sf_dir, "documents"))
+    return decode_images(d)
+
+
+# Oracle reproduces the stub arithmetic from text byte length (ascii corpus →
+# octet_length == n_bytes of the utf-8 encoding).
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       FALSE AS ok
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape for video-like columns: explode a deterministic
+    per-row frame index list (every 1000th byte offset) — the partition/
+    explode plumbing of a real frame sampler, minus the codec."""
+    d = with_binary_column(table(spark, sf_dir, "documents"))
+    n = F.length(F.col("image_bytes"))
+    # ~1 frame per 100 bytes
+    frames = F.sequence(F.lit(0), F.floor((n - 1) / 100).cast("int"))
+    return (
+        d.select("doc_id", F.explode(frames).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f").cast("long").alias("frame_idx"),
+            (F.col("f").cast("long") * 100).alias("byte_offset"),
+        )
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(unnest(range(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 100) AS BIGINT) + 1))
+            AS BIGINT) AS frame_idx,
+       CAST(unnest(range(0, CAST(FLOOR((octet_length(encode(text)) - 1) / 100) AS BIGINT) + 1)) * 100
+            AS BIGINT) AS byte_offset
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_decode": QuerySpec(
+        multimodal_decode, MULTIMODAL_DECODE_SQL,
+        "binary column → Arrow-batched decode (stub kernel)",
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,
+        "frame-index sampling over binary columns",
+    ),
+}

@@ -1,0 +1,223 @@
+"""Text-analysis operators over the `documents` table (engine extension,
+BASELINE.json north star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All pure Spark column expressions (split/transform/aggregate/filter) — no
+Python UDFs; per-row narrow transforms that scale linearly and pipeline with
+any downstream shuffle. Ratios divide integer-derived doubles, so results are
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import (
+    MERSENNE,
+    TOKEN_MOD,
+    md5_long,
+    sql_md5_long,
+)
+from ..spec import QuerySpec
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+_SQL_TOKENS = "string_split({x}, ' ')"
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+}
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def _sql_marker_hits(toks_expr: str, lang: str) -> str:
+    in_list = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter({toks_expr}, t -> t IN ({in_list}))) AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("len_chars"),
+        (total_len.cast("double") / F.size(toks)).alias("mean_token_len"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKENS.format(x='text')} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       CAST(length(text) AS INTEGER) AS len_chars,
+       CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+           / len(toks) AS mean_token_len
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-marker heuristic)
+# ---------------------------------------------------------------------------
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: _marker_hits(toks, lang) for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        predicted.alias("predicted_lang"),
+    )
+
+
+TEXT_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS.format(x='text')} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         {_sql_marker_hits('toks', 'en')} AS hits_en,
+         {_sql_marker_hits('toks', 'de')} AS hits_de,
+         {_sql_marker_hits('toks', 'es')} AS hits_es,
+         {_sql_marker_hits('toks', 'fr')} AS hits_fr
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, hits_en, hits_de, hits_es, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = _marker_hits(toks, "en")
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_len = total_len.cast("double") / n_tokens
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    # weighted heuristic — every term is an integer-derived double, so the
+    # arithmetic is bit-identical across engines
+    score = (
+        F.least(n_tokens.cast("double") / 200.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.when((mean_len >= 3.0) & (mean_len <= 8.0), 0.2).otherwise(0.0)
+        + uniq_ratio * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        uniq_ratio.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(x='text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         {_sql_marker_hits('toks', 'en')} AS stop_hits,
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT)
+             AS total_len,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(total_len AS DOUBLE) / n_tokens AS mean_token_len,
+       CAST(n_uniq AS DOUBLE) / n_tokens AS unique_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+       + least((CAST(stop_hits AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+       + (CASE WHEN CAST(total_len AS DOUBLE) / n_tokens >= 3.0
+                AND CAST(total_len AS DOUBLE) / n_tokens <= 8.0 THEN 0.2 ELSE 0.0 END)
+       + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.2 AS quality_score
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (content hash + polynomial rolling hash)
+# ---------------------------------------------------------------------------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    token_hashes = F.transform(toks, lambda t: md5_long(t) % TOKEN_MOD)
+    poly = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MERSENNE,
+    )
+    return d.select(
+        "doc_id",
+        md5_long(F.col("text")).alias("content_fp"),
+        poly.alias("rolling_fp"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKENS.format(x='text')} AS toks FROM documents)
+SELECT doc_id,
+       {sql_md5_long('text')} AS content_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, t -> {sql_md5_long('t')} % {TOKEN_MOD})),
+         (acc, x) -> (acc * 31 + x) % {MERSENNE}) AS rolling_fp
+FROM t
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_SQL, "token counting"),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "stopword-marker language ID"),
+    "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SCORE_SQL, "heuristic quality score"),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "content + rolling-hash fingerprints"),
+}

@@ -1,0 +1,117 @@
+"""Structured Streaming window metrics over the `events` stream table
+(SURVEY.md §2.9: the reference is batch-only; its date-partitioned Delta
+append is the batch half of an incremental pipeline — this module is the
+streaming half, same aggregates expressed over readStream).
+
+Local test harness: the parquet directory is replayed through
+`spark.readStream` with an explicit schema (one-file micro-batch), driven to
+completion synchronously with `processAllAvailable`, and the memory-sink
+table is returned as a normal DataFrame — so streaming queries plug into the
+same oracle comparison as batch ones.
+
+At scale the same code runs against a Kafka/file source with watermarking;
+state size is bounded by (windows × event_types), not by input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+
+# events.parquet carries TIMESTAMP(NANOS) → read as long (nanosAsLong) and
+# convert, exactly like catalog.table does for batch.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_completion(result: DataFrame, name: str) -> None:
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts + exact cents sums per event type."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+    name = "stream_hourly_counts"
+    _run_to_completion(agg, name)
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+STREAMING_HOURLY_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h-window/1h-slide counts (rows-only: each event lands in two
+    windows; semantics exercised end-to-end through the streaming engine)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "stream_sliding_counts"
+    _run_to_completion(agg, name)
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_hourly_counts": QuerySpec(
+        streaming_hourly_counts, STREAMING_HOURLY_COUNTS_SQL,
+        "Structured Streaming tumbling-window aggregate",
+    ),
+    "streaming_sliding_counts": QuerySpec(
+        streaming_sliding_counts, None,
+        "Structured Streaming sliding-window counts (rows-only)",
+    ),
+}
