@@ -22,12 +22,15 @@ no Python UDFs.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
 from ..functions.vectors import as_double, dot
+from ..session import default_parallelism
 from ..spec import QuerySpec
 
 N_HASHES = 16
@@ -36,26 +39,49 @@ JACCARD_THRESHOLD = 0.10
 MINHASH_EST_THRESHOLD = 0.20
 COSINE_DUP_THRESHOLD = 0.35
 
+# Universal-hash family for MinHash: perm_j(h) = (a_j*h + b_j) mod P over
+# h = md5_long(shingle) mod P. One md5 per shingle total (the md5 is only the
+# base fingerprint); the 16 permutations are pure 64-bit integer arithmetic,
+# reproducible bit-for-bit in DuckDB. P = 2^31-1 keeps a*h < 2^62 (no ANSI
+# overflow). Constants are fixed (seeded) so both engines embed identical
+# literals.
+MINHASH_P = 2_147_483_647
+_rng = random.Random(0x5EED)
+MINHASH_PARAMS = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(N_HASHES)
+]
+
 
 # ---------------------------------------------------------------------------
 # shared shingling expressions (3-gram over whitespace tokens, distinct)
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text: Column) -> Column:
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - 2)  # callers guard size >= 3
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, s) with one row per DISTINCT 3-gram shingle.
+
+    Exploded-row form instead of array-of-shingles columns: every expression
+    (split/element_at/concat_ws) plus the distinct stay inside whole-stage
+    codegen, where the equivalent higher-order-function lambdas
+    (transform/array_distinct) are interpreted per element. Callers must
+    pre-filter to >= 3 tokens.
+    """
+    toks = F.split(F.col("text"), " ")
+    ex = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
     )
+    return ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+            F.element_at("t", F.col("i") + 2),
+        ).alias("s"),
+    ).distinct()
 
 
 _SQL_SHINGLES = (
@@ -110,13 +136,13 @@ FROM keyed k JOIN groups g USING (content_key)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
+    exploded = _exploded_shingles(
         table(spark, sf_dir, "documents")
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-    )
-    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = d.select("doc_id", F.explode("sh").alias("s"))
+        .repartition(default_parallelism())
+        .select("doc_id", "text")
+    ).persist()  # consumed 3× below (sizes + both sides of the self-join)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -160,32 +186,48 @@ WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= {JACCARD_THRE
 # ---------------------------------------------------------------------------
 
 
-def _signature(sh: Column) -> Column:
-    """16 minhashes: sig[j] = min over shingles of md5_long(j ':' shingle)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                sh,
-                lambda s: md5_long(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
+def _signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, s) exploded shingles → (doc_id, sig: array<long>).
+
+    Plan: one md5 per shingle row → groupBy(doc_id) with 16
+    `min((a_j*h+b_j) % P)` aggregates. Everything stays inside whole-stage
+    codegen (scalar exprs + hash aggregate), and the single shuffle is on
+    doc_id, which is unskewed by construction.
+    """
+    ex = shingles.select("doc_id", (md5_long(F.col("s")) % MINHASH_P).alias("h"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
     )
 
 
-_SQL_SIGNATURE = (
-    f"list_transform(range(0, {N_HASHES}), j -> list_min(list_transform(sh, "
-    "s -> CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) "
-    "AS BIGINT))))"
+_SQL_BASE_HASHES = (
+    "list_transform(sh, s -> "
+    f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
 )
+
+_SQL_SIGNATURE = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+    for a, b in MINHASH_PARAMS
+) + "]"
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        table(spark, sf_dir, "documents")
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", _shingles(F.col("text")).alias("sh"))
-        .select("doc_id", _signature(F.col("sh")).alias("sig"))
+    d = _signatures(
+        _exploded_shingles(
+            table(spark, sf_dir, "documents")
+            .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+            # documents may arrive as one parquet file; spread the CPU-heavy
+            # shingle+hash work across all cores (at cluster scale this
+            # decouples compute parallelism from source file layout)
+            .repartition(default_parallelism())
+            .select("doc_id", "text")
+        )
     )
     # band key: md5 of the 2 signature rows in each of 8 bands
     bands = d.select(
@@ -207,6 +249,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # the LSH candidate join is a self-join: without persist both branches
+    # recompute the full shingle→signature pipeline (2× the dominant cost);
+    # at cluster scale this persist is the signature-stage materialization
+    bands = bands.persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -247,7 +294,8 @@ WITH t AS (
   SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh
   FROM documents WHERE {_MIN_TOKENS}
 ),
-sigs AS (SELECT doc_id, {_SQL_SIGNATURE} AS sig FROM t),
+hs AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM t),
+sigs AS (SELECT doc_id, {_SQL_SIGNATURE} AS sig FROM hs),
 bands AS (
   SELECT doc_id, sig, b.band,
          md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || ','
@@ -279,9 +327,13 @@ WHERE CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(F.split(F.col("text"), " "), md5_long).alias("th"),
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(default_parallelism())
+        .select(
+            "doc_id",
+            F.transform(F.split(F.col("text"), " "), md5_long).alias("th"),
+        )
     )
     def _bit_balance(j: int):
         # 2-arg lambda per bit (Spark inspects lambda arity; closures only)
@@ -326,8 +378,10 @@ FROM s
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(default_parallelism())
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
     )
     e = e.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = e.alias("a"), e.alias("b")
