@@ -1,0 +1,246 @@
+"""Composite analytic queries: multi-join star-schema reports.
+
+The reference's join surface is a single left equi-join
+(`transaction_transform.py:157`); its config maps entities onto a
+dim/fact star (`config/config.json:28,45,73`). These queries exercise the
+full star shape on the test tables — the dim⋈fact⋈dim chains, semi-joins,
+and top-k reports any warehouse consumer of that star runs — with the plans
+a 100 TB deployment needs:
+
+- dimension tables (region/nation/customer/supplier) are BROADCAST — the
+  fact side (lineitem/orders) never shuffles for a dim join;
+- fact⋈fact (orders⋈lineitem) shuffles on the join key once, and AQE picks
+  sort-merge vs shuffled-hash at runtime;
+- aggregates follow the fixed-point cents policy (functions/numeric.py) so
+  the DuckDB oracle matches bit-for-bit;
+- top-k reports sort AFTER aggregation (tiny input) with deterministic
+  tie-break keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+
+# revenue = sum(extendedprice * (1 - discount)) in exact fixed point:
+# cents(price) * (100 - cents(discount)) is a long at scale 10^4
+_REV_SQL = (
+    "CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT) * "
+    "(100 - CAST(FLOOR((l_discount) * 100.0 + 0.5) AS BIGINT))) AS DOUBLE) "
+    "/ 10000.0"
+)
+
+
+def _revenue() -> Column:
+    pc = cents(F.col("l_extendedprice"))
+    dc = F.lit(100) - cents(F.col("l_discount"))
+    return (F.sum(pc * dc).cast("double") / F.lit(1.0e4))
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: unshipped-revenue per order for one market segment.
+
+    customer is broadcast into orders (dim⋈fact), the surviving orders
+    broadcast into lineitem — the fact table never shuffles before the
+    aggregate. Filters sit on base tables so parquet gets them pushed down.
+    """
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                        orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue per nation where customer and supplier share
+    the nation, one region, one year. The region→nation→(customer, supplier)
+    dim chain collapses to broadcasts; lineitem⋈orders is the only
+    fact-side shuffle."""
+    region = (table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name, {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: orders (one quarter) having at least one line shipped
+    60+ days after order date, counted per priority. The existence test is a
+    LEFT SEMI join — the probe side keeps at most one match per order, no
+    row explosion (SURVEY.md §2.4: semi comes free from the join surface)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def returned_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top 20 customers by revenue lost to returns in one
+    quarter; customer + nation broadcast onto the fact aggregate."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_REVENUE_TOPN_SQL = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "shipping_priority": QuerySpec(
+        shipping_priority, SHIPPING_PRIORITY_SQL,
+        "Q3-shaped top-10 unshipped revenue per order",
+    ),
+    "local_supplier_volume": QuerySpec(
+        local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL,
+        "Q5-shaped per-nation revenue, 6-table star join",
+    ),
+    "order_priority_semi": QuerySpec(
+        order_priority_semi, ORDER_PRIORITY_SEMI_SQL,
+        "Q4-shaped existence check via LEFT SEMI join",
+    ),
+    "returned_revenue_topn": QuerySpec(
+        returned_revenue_topn, RETURNED_REVENUE_TOPN_SQL,
+        "Q10-shaped top-20 customers by returned revenue",
+    ),
+}

@@ -7,11 +7,11 @@ locally at sf0.001.
 
 from __future__ import annotations
 
-from .operators import etl, quality, relational, windows
+from .operators import analytics, etl, quality, relational, windows
 from .sources import scan_queries
 from .spec import QuerySpec
 
-_MODULES = [relational, windows, quality, scan_queries, etl]
+_MODULES = [relational, windows, quality, scan_queries, etl, analytics]
 
 try:  # extension operators land incrementally; keep the registry importable
     from .operators import dedup as _dedup

@@ -21,6 +21,11 @@ from banking_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_priority_semi",
+    "returned_revenue_topn",
+    "merge_upsert",
     "join_left_stats",
     "groupby_stats",
     "window_range_7d",

@@ -1,0 +1,102 @@
+"""Physical-plan regression tests.
+
+Correctness says a query returns the right rows; these tests pin down that it
+returns them with the right PLAN — the properties that decide whether the
+same code survives a 100× scale-up:
+
+- predicate pushdown + column pruning reach the parquet scan,
+- dimension joins broadcast (no fact-side shuffle),
+- existence checks stay semi-joins,
+- hot relational/dedup paths contain no Python evaluation nodes,
+- aggregates run inside whole-stage codegen.
+
+A refactor that silently turns a broadcast join into a sort-merge shuffle or
+drops a filter out of the scan fails here long before a bench regression
+would be noticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from banking_etl_pipeline_spark.registry import all_queries
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _build(queries, spark, sf_dir, key):
+    return queries[key].build(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
+    p = plan_of(_build(queries, spark, sf_dir, "filter_range"))
+    assert "PushedFilters: [" in p
+    # the range predicate itself must be inside the scan, not only a Filter node
+    assert "GreaterThan" in p or "LessThan" in p
+
+
+def test_column_pruning(spark, sf_dir, queries):
+    p = plan_of(_build(queries, spark, sf_dir, "pricing_summary"))
+    scan = p[p.index("ReadSchema"):]
+    scan_line = scan.splitlines()[0]
+    for needed in ("l_quantity", "l_extendedprice", "l_returnflag"):
+        assert needed in scan_line
+    for pruned in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert pruned not in scan_line, f"{pruned} not pruned from scan"
+
+
+def test_dim_joins_broadcast(spark, sf_dir, queries):
+    for key in ("shipping_priority", "local_supplier_volume",
+                "returned_revenue_topn", "join_left_stats", "anomaly_flags"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "BroadcastHashJoin" in p, f"{key}: dim join is not broadcast"
+    # the 6-table star must broadcast every dim: a single fact-fact join may
+    # shuffle, but 4+ broadcast exchanges must be present
+    p = plan_of(_build(queries, spark, sf_dir, "local_supplier_volume"))
+    assert p.count("BroadcastExchange") >= 4
+
+
+def test_existence_stays_semi_join(spark, sf_dir, queries):
+    p = plan_of(_build(queries, spark, sf_dir, "order_priority_semi"))
+    assert "LeftSemi" in p
+
+
+def test_no_python_eval_in_hot_paths(spark, sf_dir, queries):
+    """Relational/window/dedup/text operators must stay JVM-side; only the
+    multimodal operators (explicit Arrow mapInPandas plumbing) may run
+    Python."""
+    python_ok = {"multimodal_decode", "multimodal_frame_sample"}
+    for key, spec in queries.items():
+        if key in python_ok or key.startswith("streaming_"):
+            continue
+        p = plan_of(spec.build(spark, sf_dir))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in p, f"{key}: Python eval node in plan ({marker})"
+
+
+def test_aggregates_in_wholestage_codegen(spark, sf_dir, queries):
+    for key in ("pricing_summary", "groupby_stats", "local_supplier_volume"):
+        df = _build(queries, spark, sf_dir, key)
+        # AQE finalizes codegen stages only at execution; collect() (not
+        # count(), which wraps a new plan) finalizes THIS queryExecution
+        df.collect()
+        p = plan_of(df, "simple")
+        assert "isFinalPlan=true" in p
+        assert "*(" in p, f"{key}: no whole-stage codegen stage"
+        assert "HashAggregate" in p
+
+
+def test_window_single_shuffle(spark, sf_dir, queries):
+    """The metrics windows all partition by the same key: exactly one
+    Exchange hashpartitioning on that key should appear."""
+    p = plan_of(_build(queries, spark, sf_dir, "window_running_sum"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
