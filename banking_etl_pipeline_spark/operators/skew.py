@@ -1,0 +1,141 @@
+"""Skew- and layout-aware join strategies (scale path).
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew, but
+two levers need explicit code at 100 TB and are provided here:
+
+- `salted_join` — when BOTH sides are too large to broadcast and the key is
+  pathologically hot, pre-split every hot key into `n_salt` sub-keys: the
+  large side derives its salt deterministically from a unique column, the
+  small side replicates each row across all salts. Semantics-preserving for
+  equi-joins, so the oracle is the plain join.
+- `write_bucketed` / bucketed tables — co-locate both sides of a recurring
+  join at WRITE time (`bucketBy` on the join key): every later join on that
+  key is exchange-free (tests/test_plans.py asserts the absence of the
+  shuffle).
+
+The registered `skew_salted_join` query runs the salted plan over a
+deliberately hot key (o_orderpriority: 5 values across 15k orders at sf0.01)
+and must produce exactly the plain-join aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+
+
+def salted_join(large: DataFrame, small: DataFrame, key: str,
+                salt_src: Column, n_salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the hot key split `n_salt` ways.
+
+    `salt_src` must be an expression over `large` that varies within a key
+    group (any unique-ish column); the salt is derived by hash, so the plan
+    stays deterministic (no rand()) and re-runs identically — important for
+    retried tasks, which is also why rand() salting is a correctness bug on
+    speculative execution.
+    """
+    salted_large = large.withColumn("_salt", F.pmod(F.xxhash64(salt_src), n_salt))
+    salts = F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
+    salted_small = small.withColumn("_salt", salts)
+    return (
+        salted_large.join(salted_small, [key, "_salt"], how).drop("_salt")
+    )
+
+
+def write_bucketed(df: DataFrame, name: str, bucket_cols: Sequence[str],
+                   n_buckets: int, sort_cols: Sequence[str] = (),
+                   fmt: str = "parquet") -> None:
+    """Persist as a bucketed (+ optionally sorted) table: joins/aggregations
+    on `bucket_cols` against another table bucketed the same way need no
+    exchange, and sorted buckets also skip the sort of a sort-merge join."""
+    writer = df.write.format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").saveAsTable(name)
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to a tiny priority-level dim on a 5-value hot key via
+    salting, then aggregated. Oracle = the plain join (salting must not
+    change semantics)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    # derive the dim from the data itself so the query is self-contained
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .withColumn("priority_rank",
+                    F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int"))
+    )
+    joined = salted_join(orders, dim, "o_orderpriority",
+                         F.col("o_orderkey"), n_salt=8)
+    return (
+        joined.groupBy("priority_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0))
+            .alias("sum_price"),
+        )
+        .orderBy("priority_rank")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_rank
+  FROM orders
+)
+SELECT d.priority_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS sum_price
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+GROUP BY d.priority_rank
+ORDER BY d.priority_rank
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx-count-distinct with its exact counterpart and an
+    in-tolerance flag. The oracle computes the exact count and asserts the
+    flag TRUE — so the hash comparison verifies the sketch lands within the
+    configured rsd without requiring DuckDB to reproduce the sketch."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    )
+    return agg.select(
+        "exact_distinct",
+        (F.abs(F.col("approx") - F.col("exact_distinct"))
+         / F.col("exact_distinct") <= 0.06).alias("approx_within_tolerance"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       TRUE AS approx_within_tolerance
+FROM lineitem
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "skew_salted_join": QuerySpec(
+        skew_salted_join, SKEW_SALTED_JOIN_SQL,
+        "deterministic salted join over a hot key, semantics-preserving",
+    ),
+    "approx_distinct": QuerySpec(
+        approx_distinct, APPROX_DISTINCT_SQL,
+        "HLL++ approx distinct verified against the exact count",
+    ),
+}

@@ -7,11 +7,11 @@ locally at sf0.001.
 
 from __future__ import annotations
 
-from .operators import analytics, etl, quality, relational, windows
+from .operators import analytics, etl, quality, relational, skew, windows
 from .sources import scan_queries
 from .spec import QuerySpec
 
-_MODULES = [relational, windows, quality, scan_queries, etl, analytics]
+_MODULES = [relational, windows, quality, scan_queries, etl, analytics, skew]
 
 try:  # extension operators land incrementally; keep the registry importable
     from .operators import dedup as _dedup
@@ -41,6 +41,12 @@ try:
     from .streaming import windows as _stream_windows
 
     _MODULES.append(_stream_windows)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .streaming import stateful as _stream_stateful
+
+    _MODULES.append(_stream_stateful)
 except ImportError:  # pragma: no cover
     pass
 

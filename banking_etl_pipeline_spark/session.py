@@ -50,6 +50,9 @@ def get_spark(
         # reader rejects outright; read as long and convert in the catalog
         # (catalog.table) — same ns→µs truncation DuckDB applies.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # saveAsTable targets (bucketed tables) land outside the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # local sf0.1 parquet is a single file, AQE re-splits post-shuffle.

@@ -1,0 +1,229 @@
+"""Stateful Structured Streaming operators over the `events` stream.
+
+Three shapes a production stream pipeline needs beyond plain windowed
+aggregation (streaming/windows.py):
+
+- session windows (`F.session_window`) — gap-based sessionization inside the
+  streaming engine; state per (user, open session), closed sessions emitted
+  by the engine;
+- a CUSTOM stateful operator via `applyInPandasWithState` — per-user running
+  profile (count, exact cents sum, max inter-event gap) carried in explicit
+  GroupState across micro-batches: the escape hatch for semantics windowed
+  aggregation can't express (Arrow-batched, one state row per key);
+- stream-static join — the streaming fact side joined to a static broadcast
+  dimension, the streaming analog of the batch dim⋈fact star
+  (operators/analytics.py).
+
+Test harness as in streaming/windows.py: parquet replay → memory sink →
+returned as a batch DataFrame so the DuckDB oracle applies. The parquet
+source replays as one micro-batch here, which makes the custom operator's
+cross-batch arrival-order caveat moot in tests; within each batch the
+operator sorts its chunk by timestamp, so state transitions are
+deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..spec import QuerySpec
+from .windows import _events_stream, _run_to_completion
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+SESSION_GAP_MIN = 30
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user through F.session_window.
+
+    Complete output mode: every batch re-emits all sessions, so the memory
+    sink holds the closed-form result without watermark-flush timing issues
+    (at production scale: append mode + watermark bounds state instead).
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+    name = "stream_session_stats"
+    _run_to_completion(agg, name)
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# DuckDB oracle: lag-based session islands; session end = last event + gap
+STREAMING_SESSION_STATS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+_PROFILE_OUT = (
+    "user_id long, n_events long, sum_value_cents long, max_gap_us long"
+)
+_PROFILE_STATE = "n long, sum_cents long, last_ts_us long, max_gap_us long"
+
+
+def _update_profile(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: "GroupState") -> Iterator[pd.DataFrame]:
+    """Custom stateful transition: fold each micro-batch's rows (time-sorted)
+    into (count, cents-sum, last-seen ts, max inter-event gap). All time math
+    in integer microseconds — exact, so the DuckDB oracle matches bit-for-bit.
+    Pure pandas/numpy inside an Arrow batch — no per-row Python."""
+    if state.exists:
+        n, sum_cents, last_ts_us, max_gap_us = state.get
+    else:
+        n, sum_cents, last_ts_us, max_gap_us = 0, 0, None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
+        if len(ts_us):
+            gaps = ts_us.diff()
+            if last_ts_us is not None:
+                gaps.iloc[0] = ts_us.iloc[0] - last_ts_us
+            g = gaps.max()
+            if pd.notna(g):
+                max_gap_us = max(max_gap_us, int(g))
+            last_ts_us = int(ts_us.iloc[-1])
+        n += len(pdf)
+        sum_cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+    state.update((n, sum_cents, last_ts_us, max_gap_us))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [sum_cents],
+         "max_gap_us": [max_gap_us]}
+    )
+
+
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running profile (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=_PROFILE_OUT,
+            stateStructType=_PROFILE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_user_profile"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_USER_PROFILE_SQL = """
+WITH gaps AS (
+  SELECT user_id, value,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+FROM gaps
+GROUP BY user_id
+"""
+
+
+def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events ⋈ broadcast customer dim, counts
+    per market segment. The static side is re-read per micro-batch and
+    broadcast — the fact stream never shuffles for the dim."""
+    from ..catalog import table
+
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = (
+        _events_stream(spark, sf_dir)
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+    name = "stream_dim_join"
+    _run_to_completion(joined, name)
+    return spark.table(name)
+
+
+STREAMING_DIM_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_session_stats": QuerySpec(
+        streaming_session_stats, STREAMING_SESSION_STATS_SQL,
+        "gap-based session windows in the streaming engine",
+    ),
+    "streaming_user_profile": QuerySpec(
+        streaming_user_profile, STREAMING_USER_PROFILE_SQL,
+        "custom stateful operator via applyInPandasWithState",
+    ),
+    "streaming_dim_join": QuerySpec(
+        streaming_dim_join, STREAMING_DIM_JOIN_SQL,
+        "stream-static broadcast dim join",
+    ),
+}
