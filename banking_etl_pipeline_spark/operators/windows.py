@@ -26,10 +26,6 @@ from ..catalog import table
 from ..functions.numeric import cents
 from ..spec import QuerySpec
 
-# 7-day frame (the events table spans 30 days; the reference used 30 over 90).
-RANGE_SECONDS = 7 * 86400
-
-
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≅ cumulative balance: sum(amount_signed) over (partition account order ts)
     # transaction_transform.py:108-115. Default frame = RANGE UNBOUNDED
@@ -85,9 +81,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _window_range(spark: SparkSession, sf_dir: str, days: int) -> DataFrame:
     """Sliding range-frame rolling count + conditional sum ≅
-    transaction_transform.py:126-133 (30-day frame there, 7-day here).
+    transaction_transform.py:126-133 (the reference's frame is 30 days; both
+    7- and 30-day variants are registered — the events table spans ~30 days,
+    so 7d exercises a proper sliding frame and 30d the reference's width).
     Epoch-seconds ordering makes the range frame's numeric semantics explicit.
     """
     e = table(spark, sf_dir, "events")
@@ -95,12 +93,12 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
-        .rangeBetween(-RANGE_SECONDS, 0)
+        .rangeBetween(-days * 86400, 0)
     )
     return e.select(
         "event_id",
         "user_id",
-        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        F.count(F.lit(1)).over(w).alias(f"cnt_{days}d"),
         (
             F.sum(
                 cents(
@@ -112,20 +110,33 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w)
             .cast("double")
             / F.lit(100.0)
-        ).alias("purchase_value_7d"),
+        ).alias(f"purchase_value_{days}d"),
     )
 
 
-WINDOW_RANGE_7D_SQL = f"""
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _window_range(spark, sf_dir, 7)
+
+
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _window_range(spark, sf_dir, 30)
+
+
+def _window_range_sql(days: int) -> str:
+    return f"""
 SELECT event_id, user_id,
-       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_{days}d,
        CAST(SUM(CAST(FLOOR((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
                          * 100.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
-           AS purchase_value_7d
+           AS purchase_value_{days}d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN {RANGE_SECONDS} PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN {days * 86400} PRECEDING AND CURRENT ROW)
 """
+
+
+WINDOW_RANGE_7D_SQL = _window_range_sql(7)
+WINDOW_RANGE_30D_SQL = _window_range_sql(30)
 
 
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +270,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
     "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),
+    "window_range_30d": QuerySpec(window_range_30d, WINDOW_RANGE_30D_SQL, "reference-width 30-day range frame (W3)"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL, "gap-based sessionization"),
     "asof_join": QuerySpec(asof_join, ASOF_JOIN_SQL, "as-of join via union+carry-forward"),
 }

@@ -19,12 +19,8 @@ from __future__ import annotations
 
 import pytest
 
+from banking_etl_pipeline_spark.plans import plan_of
 from banking_etl_pipeline_spark.registry import all_queries
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    sc = df.sparkSession.sparkContext
-    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 @pytest.fixture(scope="module")

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from banking_etl_pipeline_spark.operators.skew import salted_join, write_bucketed
-from tests.test_plans import plan_of
+from banking_etl_pipeline_spark.plans import plan_of
 
 
 def test_salted_join_equals_plain_join(spark):
