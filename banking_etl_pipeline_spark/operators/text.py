@@ -79,6 +79,38 @@ SELECT doc_id,
 FROM t
 """
 
+# BPE-style pre-tokenization: letter runs, digit runs, punctuation runs —
+# the split a byte-pair tokenizer applies before merges. RE2-safe (no
+# lookarounds) so Spark's Java regex and DuckDB's RE2 agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware counting: BPE-ish pre-tokens vs whitespace tokens and
+    a chars-per-token ratio (the standard LLM-cost estimator inputs)."""
+    d = table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        (F.length("text").cast("double") / F.size(pieces)).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+TEXT_BPE_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+           AS n_bpe_tokens,
+       CAST(len({_SQL_TOKENS.format(x='text')}) AS INTEGER) AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+           / len(regexp_extract_all(text, '{BPE_PATTERN}')) AS chars_per_token
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # language identification (stopword-marker heuristic)
 # ---------------------------------------------------------------------------
@@ -217,6 +249,7 @@ FROM t
 
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_SQL, "token counting"),
+    "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL, "BPE-ish regex pre-token counting"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "stopword-marker language ID"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SCORE_SQL, "heuristic quality score"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "content + rolling-hash fingerprints"),
