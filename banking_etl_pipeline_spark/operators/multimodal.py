@@ -136,10 +136,114 @@ FROM documents
 """
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, dst_width int, dst_height int,"
+    " scale double, resized_bytes_est long"
+)
+
+TARGET_W, TARGET_H = 224, 224  # standard vision-model input
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: aspect-preserving shortest-side resize planning.
+    The geometry (real in any deployment) runs on the stub decode dims here;
+    only the pixel resample itself would need PIL."""
+    for pdf in batches:
+        n_bytes = pdf["image_bytes"].map(len)
+        src_w = (n_bytes % 640 + 1).astype("int64")
+        src_h = (n_bytes % 480 + 1).astype("int64")
+        scale = pd.concat(
+            [TARGET_W / src_w, TARGET_H / src_h], axis=1).max(axis=1)
+        dst_w = (src_w * scale + 0.5).astype("int64").clip(lower=1)
+        dst_h = (src_h * scale + 0.5).astype("int64").clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": src_w.astype("int32"),
+                "src_height": src_h.astype("int32"),
+                "dst_width": dst_w.astype("int32"),
+                "dst_height": dst_h.astype("int32"),
+                "scale": scale.astype("float64"),
+                "resized_bytes_est": (dst_w * dst_h * 3).astype("int64"),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_column(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "image_bytes").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1 AS src_w,
+         octet_length(encode(text)) % 480 + 1 AS src_h
+  FROM documents
+),
+scaled AS (
+  SELECT *, GREATEST({TARGET_W}.0 / src_w, {TARGET_H}.0 / src_h) AS scale
+  FROM dims
+)
+SELECT doc_id,
+       CAST(src_w AS INTEGER) AS src_width,
+       CAST(src_h AS INTEGER) AS src_height,
+       CAST(GREATEST(CAST(FLOOR(src_w * scale + 0.5) AS BIGINT), 1) AS INTEGER) AS dst_width,
+       CAST(GREATEST(CAST(FLOOR(src_h * scale + 0.5) AS BIGINT), 1) AS INTEGER) AS dst_height,
+       CAST(scale AS DOUBLE) AS scale,
+       CAST(GREATEST(CAST(FLOOR(src_w * scale + 0.5) AS BIGINT), 1)
+            * GREATEST(CAST(FLOOR(src_h * scale + 0.5) AS BIGINT), 1) * 3 AS BIGINT)
+           AS resized_bytes_est
+FROM scaled
+"""
+
+
+FEATURES_SCHEMA = "doc_id long, feature array<double>, feat_norm double"
+N_FEATURES = 8
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: bytes → fixed-width feature vector. STUB features
+    are per-bucket byte-value histograms (a real, deterministic computation
+    over the raw bytes — the shape a CNN/CLIP embedding step would fill)."""
+    import numpy as np
+
+    for pdf in batches:
+        feats, norms = [], []
+        for data in pdf["image_bytes"]:
+            arr = np.frombuffer(bytes(data), dtype=np.uint8)
+            hist = np.bincount(arr // (256 // N_FEATURES),
+                               minlength=N_FEATURES).astype("float64")
+            total = hist.sum()
+            vec = hist / total if total else hist
+            feats.append(vec.tolist())
+            norms.append(float(np.sqrt((vec * vec).sum())))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "feature": feats, "feat_norm": norms}
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_column(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "image_bytes").mapInPandas(
+        _feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(
         multimodal_decode, MULTIMODAL_DECODE_SQL,
         "binary column → Arrow-batched decode (stub kernel)",
+    ),
+    "multimodal_resize": QuerySpec(
+        multimodal_resize, MULTIMODAL_RESIZE_SQL,
+        "aspect-preserving resize planning over binary columns",
+    ),
+    "multimodal_features": QuerySpec(
+        multimodal_features, None,
+        "byte-histogram feature extraction (rows-only; array<double> output)",
     ),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,

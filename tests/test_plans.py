@@ -69,7 +69,8 @@ def test_no_python_eval_in_hot_paths(spark, sf_dir, queries):
     """Relational/window/dedup/text operators must stay JVM-side; only the
     multimodal operators (explicit Arrow mapInPandas plumbing) may run
     Python."""
-    python_ok = {"multimodal_decode", "multimodal_frame_sample"}
+    python_ok = {"multimodal_decode", "multimodal_resize",
+                 "multimodal_features", "multimodal_frame_sample"}
     for key, spec in queries.items():
         if key in python_ok or key.startswith("streaming_"):
             continue
