@@ -226,7 +226,45 @@ LIMIT 20
 """
 
 
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per order priority —
+    the distribution-shape report a warehouse runs next to its means. Exact
+    `percentile` (sort-based within the aggregate) rather than
+    `approx_percentile`, discretized to cents so both engines' linear
+    interpolation hashes identically."""
+    o = table(spark, sf_dir, "orders")
+    p50 = F.percentile("o_totalprice", F.lit(0.5))
+    p90 = F.percentile("o_totalprice", F.lit(0.9))
+    r2 = lambda c: F.floor(c * 100.0 + 0.5) / 100.0  # noqa: E731
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(p50).alias("median_price"),
+            r2(p90).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0
+           AS median_price,
+       FLOOR(quantile_cont(o_totalprice, 0.9) * 100.0 + 0.5) / 100.0
+           AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "percentiles": QuerySpec(
+        percentiles, PERCENTILES_SQL,
+        "exact interpolated median/p90 per group",
+    ),
     "shipping_priority": QuerySpec(
         shipping_priority, SHIPPING_PRIORITY_SQL,
         "Q3-shaped top-10 unshipped revenue per order",

@@ -25,7 +25,9 @@ HEADLINE = [
     "local_supplier_volume",
     "order_priority_semi",
     "returned_revenue_topn",
+    "percentiles",
     "merge_upsert",
+    "skew_salted_join",
     "join_left_stats",
     "groupby_stats",
     "window_range_7d",
@@ -40,8 +42,11 @@ HEADLINE = [
     # extension operators (registered as they land)
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_simhash",
     "ann_brute_force",
     "text_quality_score",
+    "text_bpe_token_count",
+    "multimodal_decode",
 ]
 
 
