@@ -135,7 +135,17 @@ FROM keyed k JOIN groups g USING (content_key)
 # ---------------------------------------------------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise Jaccard via shingle equi-join.
+
+    `max_doc_freq` caps a shingle's posting list: the equi-join is quadratic
+    per shingle (df² candidate pairs), so at extreme scale hot boilerplate
+    shingles must be dropped before the join (SCALE.md). The default (None)
+    keeps exact semantics for the oracle comparison; capped runs trade a
+    bounded Jaccard underestimate for a hard bound on join blowup. Sizes are
+    computed BEFORE the cap so the denominator stays exact.
+    """
     exploded = _exploded_shingles(
         table(spark, sf_dir, "documents")
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
@@ -143,6 +153,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     ).persist()  # consumed 3× below (sizes + both sides of the self-join)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        exploded = exploded.join(rare, "s")
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -32,6 +32,19 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall {recall:.2f} below floor"
 
 
+def test_ngram_jaccard_doc_freq_cap(spark, sf_dir):
+    """Capping shingle document frequency must never ADD pairs, only shrink
+    or keep them (it prunes join candidates), and estimated jaccard for
+    surviving pairs can only drop (numerator loses common shingles)."""
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in dedup_ngram_jaccard(spark, sf_dir, max_doc_freq=2).collect()}
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-12
+
+
 def test_minhash_lsh_finds_jaccard_pairs(spark, sf_dir):
     """MinHash-LSH candidates should overlap exact n-gram Jaccard pairs and
     estimated similarity should correlate with the exact one."""
