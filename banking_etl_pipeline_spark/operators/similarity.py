@@ -151,7 +151,127 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+NPROBE = 4    # cells probed per query
+
+
+def _ivf_assignments(e: DataFrame, centroids: DataFrame, n_best: int,
+                     id_col: str) -> DataFrame:
+    """Top-`n_best` centroid cells per vector by cosine (ties → cell_id)."""
+    sim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .select(id_col, "cell_id", sim.alias("cell_sim"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n_best)
+        .select(id_col, "cell_id")
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors are bucketed to their nearest coarse-quantizer
+    cell; each query probes its NPROBE closest cells and exact-re-ranks only
+    those cells' members.
+
+    The quantizer here is deterministic (cells = corpus vectors
+    N_QUERIES..N_QUERIES+N_CELLS as centroids — k-means with 0 iterations),
+    which keeps the whole operator oracle-checkable; at scale the centroids
+    come from a few k-means|| iterations (same assignment plan per
+    iteration) and the cell assignment is the partitioning key, so each
+    query's probe touches NPROBE/N_CELLS of the corpus.
+    """
+    e = _corpus(spark, sf_dir)
+    centroids = (
+        e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + N_CELLS - 1))
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"))
+    )
+    corpus_cells = _ivf_assignments(e, centroids, 1, "vec_id")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    probe_cells = _ivf_assignments(
+        queries.select(F.col("vec_id").alias("q_id"), "v", "nrm"),
+        centroids, NPROBE, "q_id",
+    )
+    cand = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                       F.col("nrm").alias("qn"))
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"),
+                                           F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES + N_CELLS - 1}
+),
+corpus_cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) DESC,
+                      cent.cell_id) AS crn
+    FROM e, cent
+  ) WHERE crn <= 1
+),
+probe_cells AS (
+  SELECT q_id, cell_id FROM (
+    SELECT e.vec_id AS q_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) DESC,
+                      cent.cell_id) AS crn
+    FROM e, cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, c.vec_id
+  FROM probe_cells p JOIN corpus_cells c USING (cell_id)
+  WHERE p.q_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine_sim
+  FROM cand
+  JOIN e c ON c.vec_id = cand.vec_id
+  JOIN e q ON q.vec_id = cand.q_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_BRUTE_FORCE_SQL, "exact cosine top-k per query"),
     "ann_lsh": QuerySpec(ann_lsh, None, "sign-LSH bucketed ANN (rows-only; recall-tested)"),
+    "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL, "IVF cell-probe ANN with deterministic quantizer"),
 }

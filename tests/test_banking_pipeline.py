@@ -376,6 +376,33 @@ def test_pipeline_e2e_from_reference_config_shape(spark, tmp_path):
     assert wh.read("dim_customer").count() == 150
 
 
+def test_pipeline_from_raw_csv_zone(spark, tmp_path):
+    """The reference's actual extract path: raw CSV with string dates →
+    clean parses them (transaction_transform.py:35-36). Seed → CSV write →
+    CSV read with explicit schema (string transaction_date) → transform."""
+    from banking_etl_pipeline_spark.sinks.writers import write_csv
+    from banking_etl_pipeline_spark.sources.readers import read_csv
+
+    txns = seed_all(spark, 50, 80, 400)["transactions"]
+    raw_path = str(tmp_path / "raw" / "transactions")
+    write_csv(
+        txns.withColumn(
+            "transaction_date",
+            F.date_format("transaction_date", "yyyy-MM-dd HH:mm:ss"),
+        ),
+        raw_path,
+    )
+    schema = ", ".join(
+        f"{f.name} {'string' if f.name == 'transaction_date' else f.dataType.simpleString()}"
+        for f in TRANSACTION_SCHEMA
+    )
+    raw = read_csv(spark, raw_path, schema=schema)
+    out = transform_transactions(raw)
+    assert out.count() == txns.count()
+    assert dict(out.dtypes)["transaction_date"] == "timestamp"
+    assert out.filter(F.col("transaction_date").isNull()).count() == 0
+
+
 def test_pipeline_gate_fails_closed(spark):
     bad = spark.createDataFrame(
         [("C1", None, "L", dt.date(1990, 1, 1), None, None, None, None, "CA",
