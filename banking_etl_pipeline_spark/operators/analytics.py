@@ -260,7 +260,193 @@ ORDER BY o_orderpriority
 """
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: revenue delta from dropping a discount band for one
+    year. The cheapest plan in the engine — a single scan with BOTH filters
+    and the 4-column projection pushed into the parquet reader
+    (`.explain` shows PushedFilters on l_shipdate/l_quantity), then a
+    partial+final agg with no shuffle of row data at all. At 100 TB this is
+    IO-bound by design: no join, no wide shuffle, min/max row-group pruning
+    on a date-sorted layout skips most of the year's files."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 24)
+        & cents(F.col("l_discount")).between(5, 7)
+    )
+    disc_rev = F.sum(
+        cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))
+    )
+    return li.agg(
+        (disc_rev.cast("double") / F.lit(1.0e4)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+                CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_quantity < 24
+  AND CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+def promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: percentage of one month's revenue coming from
+    ECONOMY-type parts. part is the only dimension — broadcast, so the
+    month of lineitem never shuffles; the conditional-share pattern is a
+    single agg with two fixed-point sums (numerator/denominator both exact
+    longs, one double division at the end → bit-stable vs the oracle)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - cents(F.col("l_discount"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+PROMO_EFFECT_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+                      (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+     / CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+                (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)))
+            AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct suppliers able to ship selected part
+    shapes, excluding under-capitalized suppliers (acctbal < 1000 — the
+    snapshot has no supplier comments, so the balance stands in for Q16's
+    complaints filter). Two broadcasts: the filtered part dim into the scan,
+    and the exclusion list as a LEFT ANTI join (SURVEY.md §2.4-J2 — NOT IN
+    on a non-null key is exactly an anti-join, no null trap). The only
+    shuffle is the final distinct-count by (brand, type, size)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+PARTS_SUPPLIER_RELATIONSHIP_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 1000.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: customers whose orders exceed 250 total units.
+    The HAVING subquery and the report reuse ONE aggregate — lineitem is
+    scanned and shuffled once (groupBy l_orderkey), the >250 filter runs on
+    the aggregate (tiny), and orders/customer attach by broadcast of the
+    survivors' keys. Q18's classic trap — aggregating lineitem twice — is
+    structurally avoided."""
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+LARGE_VOLUME_CUSTOMER_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0
+) b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "forecast_revenue": QuerySpec(
+        forecast_revenue, FORECAST_REVENUE_SQL,
+        "Q6-shaped single-scan filtered revenue agg",
+    ),
+    "promo_effect": QuerySpec(
+        promo_effect, PROMO_EFFECT_SQL,
+        "Q14-shaped conditional revenue share",
+    ),
+    "parts_supplier_relationship": QuerySpec(
+        parts_supplier_relationship, PARTS_SUPPLIER_RELATIONSHIP_SQL,
+        "Q16-shaped distinct-supplier count with anti-join exclusion",
+    ),
+    "large_volume_customer": QuerySpec(
+        large_volume_customer, LARGE_VOLUME_CUSTOMER_SQL,
+        "Q18-shaped big-order report, single lineitem aggregate",
+    ),
     "percentiles": QuerySpec(
         percentiles, PERCENTILES_SQL,
         "exact interpolated median/p90 per group",

@@ -266,6 +266,90 @@ ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
 """
 
 
+RANGE_JOIN_N_BANDS = 60
+RANGE_JOIN_BASE = 900.0
+RANGE_JOIN_STRIDE = 1800.0   # band start spacing
+RANGE_JOIN_WIDTH = 2700.0    # band length (> stride → overlapping bands)
+
+
+def bucketed_range_join(points: DataFrame, point_col: str,
+                        intervals: DataFrame, lo_col: str, hi_col: str,
+                        bucket_width: float) -> DataFrame:
+    """Generic point-in-interval join ([lo, hi) containment) as a bucketed
+    EQUI-join. Spark's native plan for a pure non-equi predicate is
+    BroadcastNestedLoopJoin — O(points × intervals), a non-starter once the
+    interval side outgrows a broadcast. Instead each interval is exploded to
+    the ~(len/width + 1) buckets it overlaps, each point hashes to ONE
+    bucket, and the join is a plain hash/sort-merge equi-join on bucket_id
+    followed by the exact containment filter. Shuffle cost scales with
+    data size, not with the pair cross-product; bucket_width tunes the
+    explode factor vs candidate-pair false positives.
+    """
+    w = F.lit(bucket_width)
+    b_intervals = intervals.withColumn(
+        "bucket_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    b_points = points.withColumn("bucket_id", F.floor(F.col(point_col) / w))
+    return (
+        b_points.join(b_intervals, "bucket_id")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("bucket_id")
+    )
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems priced within overlapping price bands
+    ([900 + 1800·i, 900 + 1800·i + 2700) for i < 60 — width > stride, so a
+    price can land in two bands), aggregated per band. Runs through
+    `bucketed_range_join`, so the plan is scan → bucket-hash equi-join →
+    filter → partial/final agg; no nested-loop node anywhere (the band
+    table is also broadcast here, but the shape survives a billion-row
+    interval side by letting the equi-join shuffle instead)."""
+    bands = spark.range(RANGE_JOIN_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.lit(RANGE_JOIN_BASE) + F.col("id") * RANGE_JOIN_STRIDE).alias("lo"),
+        (F.lit(RANGE_JOIN_BASE) + F.col("id") * RANGE_JOIN_STRIDE
+         + RANGE_JOIN_WIDTH).alias("hi"),
+    )
+    pts = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    return (
+        bucketed_range_join(pts, "l_extendedprice",
+                            F.broadcast(bands), "lo", "hi",
+                            RANGE_JOIN_STRIDE)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         {RANGE_JOIN_BASE} + i * {RANGE_JOIN_STRIDE} AS lo,
+         {RANGE_JOIN_BASE} + i * {RANGE_JOIN_STRIDE} + {RANGE_JOIN_WIDTH} AS hi
+  FROM range({RANGE_JOIN_N_BANDS}) t(i)
+)
+SELECT band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
@@ -273,4 +357,5 @@ QUERIES: dict[str, QuerySpec] = {
     "window_range_30d": QuerySpec(window_range_30d, WINDOW_RANGE_30D_SQL, "reference-width 30-day range frame (W3)"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL, "gap-based sessionization"),
     "asof_join": QuerySpec(asof_join, ASOF_JOIN_SQL, "as-of join via union+carry-forward"),
+    "range_join": QuerySpec(range_join, RANGE_JOIN_SQL, "bucketed point-in-interval range join"),
 }

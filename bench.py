@@ -25,6 +25,11 @@ HEADLINE = [
     "local_supplier_volume",
     "order_priority_semi",
     "returned_revenue_topn",
+    "forecast_revenue",
+    "promo_effect",
+    "parts_supplier_relationship",
+    "large_volume_customer",
+    "range_join",
     "percentiles",
     "merge_upsert",
     "skew_salted_join",

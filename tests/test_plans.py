@@ -97,3 +97,40 @@ def test_window_single_shuffle(spark, sf_dir, queries):
     Exchange hashpartitioning on that key should appear."""
     p = plan_of(_build(queries, spark, sf_dir, "window_running_sum"), "simple")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_forecast_revenue_pushdown_single_scan(spark, sf_dir, queries):
+    """Q6 shape: both range filters reach the parquet scan and the plan has
+    no join and no wide shuffle of row data (single partial+final agg)."""
+    p = plan_of(_build(queries, spark, sf_dir, "forecast_revenue"))
+    assert "PushedFilters: [" in p
+    scan = p[p.index("PushedFilters"):].splitlines()[0]
+    assert "l_shipdate" in scan and "l_quantity" in scan
+    assert "Join" not in p
+    assert p.count("HashAggregate (") == 2  # partial + final, nothing else
+
+
+def test_large_volume_customer_single_lineitem_agg(spark, sf_dir, queries):
+    """Q18's classic trap is aggregating lineitem twice (HAVING subquery +
+    report). Our plan reuses one aggregate: lineitem is scanned once and
+    orders/customer attach by broadcast."""
+    p = plan_of(_build(queries, spark, sf_dir, "large_volume_customer"))
+    assert p.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "BroadcastHashJoin" in p
+
+
+def test_parts_supplier_antijoin_broadcast(spark, sf_dir, queries):
+    p = plan_of(_build(queries, spark, sf_dir, "parts_supplier_relationship"))
+    assert "LeftAnti, BuildRight" in p.replace("build right", "BuildRight") \
+        or "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_range_join_no_nested_loop(spark, sf_dir, queries):
+    """The bucketed range join must plan as an equi-join + filter; a raw
+    non-equi containment predicate would fall back to
+    BroadcastNestedLoopJoin, which is O(points × intervals) and dies at
+    scale."""
+    p = plan_of(_build(queries, spark, sf_dir, "range_join"))
+    assert "NestedLoop" not in p, "range join fell back to nested loop"
+    assert "Join" in p
