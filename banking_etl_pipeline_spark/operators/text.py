@@ -247,10 +247,146 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation funnel (the training-data pipeline, end to end)
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_TOKENS = 10
+CURATION_MIN_QUALITY = 0.5
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation funnel in one query: language-ID →
+    quality gate → exact dedup → token accounting, reported per predicted
+    language.
+
+    Scale shape: every per-document signal (tokens, stopword hits, quality
+    score, BPE count, content hash) is computed in ONE narrow pass over the
+    corpus — no joins between the signal stages, because they are all
+    functions of the same row. The only extra shuffle is the exact-dedup
+    keep-set (groupBy content hash → min doc_id, SURVEY.md §7.8), and the
+    final per-language rollup is a 4-group aggregate. At 100 TB this is a
+    scan + two aggregates; the funnel never materializes intermediate
+    corpora."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    hits = {lang: _marker_hits(toks, lang) for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_len = total_len.cast("double") / n_tokens
+    stop_ratio = hits["en"].cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    score = (
+        F.least(n_tokens.cast("double") / 200.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.when((mean_len >= 3.0) & (mean_len <= 8.0), 0.2).otherwise(0.0)
+        + uniq_ratio * 0.2
+    )
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    per_doc = d.select(
+        "doc_id",
+        F.md5("text").alias("content_key"),
+        predicted.alias("predicted_lang"),
+        n_tokens.alias("n_tokens"),
+        score.alias("quality_score"),
+        F.size(pieces).alias("n_bpe_tokens"),
+    )
+    keep = per_doc.groupBy("content_key").agg(F.min("doc_id").alias("keep_id"))
+    flagged = per_doc.join(keep, "content_key").withColumn(
+        "is_unique", F.col("doc_id") == F.col("keep_id")
+    )
+    curated = F.col("is_unique") & (
+        F.col("quality_score") >= CURATION_MIN_QUALITY
+    ) & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+    return (
+        flagged.withColumn("is_curated", curated)
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_unique").cast("int")).alias("n_unique"),
+            F.sum(F.col("is_curated").cast("int")).alias("n_curated"),
+            F.sum(
+                F.when(F.col("is_curated"), F.col("n_bpe_tokens")).otherwise(0)
+            ).alias("curated_bpe_tokens"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+CORPUS_CURATION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, md5(text) AS content_key,
+         {_SQL_TOKENS.format(x='text')} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, content_key,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         {_sql_marker_hits('toks', 'en')} AS hits_en,
+         {_sql_marker_hits('toks', 'de')} AS hits_de,
+         {_sql_marker_hits('toks', 'es')} AS hits_es,
+         {_sql_marker_hits('toks', 'fr')} AS hits_fr,
+         CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT)
+             AS total_len,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+             AS n_bpe_tokens
+  FROM t
+),
+scored AS (
+  SELECT *,
+         CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+              WHEN hits_es >= hits_fr THEN 'es'
+              ELSE 'fr' END AS predicted_lang,
+         least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+         + least((CAST(hits_en AS DOUBLE) / n_tokens) * 5.0, 1.0) * 0.2
+         + (CASE WHEN CAST(total_len AS DOUBLE) / n_tokens >= 3.0
+                  AND CAST(total_len AS DOUBLE) / n_tokens <= 8.0 THEN 0.2 ELSE 0.0 END)
+         + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.2 AS quality_score
+  FROM m
+),
+keep AS (SELECT content_key, MIN(doc_id) AS keep_id FROM scored GROUP BY content_key),
+flagged AS (
+  SELECT s.*, s.doc_id = k.keep_id AS is_unique,
+         (s.doc_id = k.keep_id
+          AND s.quality_score >= {CURATION_MIN_QUALITY}
+          AND s.n_tokens >= {CURATION_MIN_TOKENS}) AS is_curated
+  FROM scored s JOIN keep k USING (content_key)
+)
+SELECT predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(is_unique AS INTEGER)) AS BIGINT) AS n_unique,
+       CAST(SUM(CAST(is_curated AS INTEGER)) AS BIGINT) AS n_curated,
+       CAST(SUM(CASE WHEN is_curated THEN n_bpe_tokens ELSE 0 END) AS BIGINT)
+           AS curated_bpe_tokens
+FROM flagged
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_SQL, "token counting"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL, "BPE-ish regex pre-token counting"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "stopword-marker language ID"),
     "text_quality_score": QuerySpec(text_quality_score, TEXT_QUALITY_SCORE_SQL, "heuristic quality score"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "content + rolling-hash fingerprints"),
+    "corpus_curation": QuerySpec(
+        corpus_curation, CORPUS_CURATION_SQL,
+        "lang-ID → quality gate → dedup → token-accounting funnel",
+    ),
 }

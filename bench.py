@@ -51,6 +51,8 @@ HEADLINE = [
     "ann_brute_force",
     "text_quality_score",
     "text_bpe_token_count",
+    "corpus_curation",
+    "ann_ivf",
     "multimodal_decode",
 ]
 

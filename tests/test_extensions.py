@@ -111,3 +111,18 @@ def test_ann_topk_shape(spark, sf_dir):
     ranks = df.filter(F.col("q_id") == 0).orderBy("rank").collect()
     sims = [r.cosine_sim for r in ranks]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_corpus_curation_funnel_monotone(spark, sf_dir):
+    """Each curation stage can only shrink the corpus: curated ⊆ unique ⊆
+    all, and curated docs carry a positive token budget."""
+    from banking_etl_pipeline_spark.operators.text import corpus_curation
+
+    rows = corpus_curation(spark, sf_dir).collect()
+    assert rows, "funnel produced no language groups"
+    total_curated = 0
+    for r in rows:
+        assert 0 <= r.n_curated <= r.n_unique <= r.n_docs
+        assert (r.curated_bpe_tokens > 0) == (r.n_curated > 0)
+        total_curated += r.n_curated
+    assert total_curated > 0, "quality/dedup gates rejected everything"
