@@ -601,8 +601,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+PIVOT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                  "MACHINERY")
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshaping: order counts per (priority × market segment),
+    one column per segment. The pivot values are DECLARED (not discovered),
+    so the plan is a single groupBy with one conditional aggregate per
+    segment — no extra distinct-values job, no second shuffle. Undeclared
+    `pivot(col)` would first collect the distinct segments to the driver;
+    at 100 TB you always pass the value list."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                              "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .pivot("c_mktsegment", list(PIVOT_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_SEGMENTS))
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_WIDE_SQL = f"""
+SELECT o.o_orderpriority,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 END), 0) "
+           f"AS BIGINT) AS {s}" for s in PIVOT_SEGMENTS)}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
+    "pivot_wide": QuerySpec(pivot_wide, PIVOT_WIDE_SQL, "declared-values pivot to wide counts"),
     "project": QuerySpec(project, PROJECT_SQL, "column projection (P1)"),
     "filter_compound": QuerySpec(filter_compound, FILTER_COMPOUND_SQL, "compound boolean filter (P3)"),
     "filter_null": QuerySpec(filter_null, FILTER_NULL_SQL, "null predicate (P4)"),

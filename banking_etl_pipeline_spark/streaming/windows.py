@@ -105,6 +105,51 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: every event is duplicated in-flight
+    (exploded ×2 — simulating at-least-once delivery from a replayed
+    source), then `dropDuplicatesWithinWatermark` keeps one row per
+    event_id. Unlike plain dropDuplicates, the watermark EVICTS dedup state
+    for keys older than the lateness bound — state is O(events per
+    watermark horizon), not O(all events ever seen), which is what makes
+    exact streaming dedup viable on an unbounded 100 TB/day feed. The
+    memory-sink result is then rolled up per event type so the batch oracle
+    (a plain per-type count of the unique events) can check it."""
+    dup = (
+        _events_stream(spark, sf_dir)
+        .withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("copy")
+    )
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "stream_dedup"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_hourly_counts": QuerySpec(
         streaming_hourly_counts, STREAMING_HOURLY_COUNTS_SQL,
@@ -113,5 +158,9 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_sliding_counts": QuerySpec(
         streaming_sliding_counts, None,
         "Structured Streaming sliding-window counts (rows-only)",
+    ),
+    "streaming_dedup": QuerySpec(
+        streaming_dedup, STREAMING_DEDUP_SQL,
+        "watermark-bounded streaming exact dedup of duplicated feed",
     ),
 }
