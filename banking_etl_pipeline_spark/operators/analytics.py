@@ -430,6 +430,121 @@ LIMIT 100
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: yearly revenue forgone on small-quantity orders of
+    one brand — lineitems below 20% of their part's average quantity.
+
+    The correlated per-part AVG subquery decorrelates into: filter part by
+    brand (broadcast into lineitem), aggregate the joined subset per part,
+    broadcast the tiny per-part averages back onto the same subset. The
+    big table is scanned once; both joins build on broadcast sides; the
+    correlated comparison is a plain column predicate after the second
+    join."""
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    avgs = j.groupBy("l_partkey").agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        j.join(F.broadcast(avgs), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice"))).cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+a AS (
+  SELECT l_partkey,
+         CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM j GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM j JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: untapped customers — above-average balance but no
+    order since 2000 — counted per market segment. The global-average
+    scalar subquery becomes a 1-row broadcast cross join (no collect to the
+    driver); the NOT EXISTS becomes a LEFT ANTI join whose date filter is
+    pushed into the orders scan. The threshold compares in exact cents
+    (long sum / count) so the boundary is bit-identical to the oracle."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    avg_pos = cust.filter(F.col("bal_c") > 0).agg(
+        (F.sum("bal_c").cast("double") / F.count(F.lit(1))).alias("avg_bal_c")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal_c").cast("double") > F.col("avg_bal_c"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum("bal_c").cast("double") / F.lit(100.0)).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_CUSTOMER_BALANCE_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+a AS (
+  SELECT CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS avg_bal_c
+  FROM c WHERE bal_c > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS total_bal
+FROM c, a
+WHERE CAST(bal_c AS DOUBLE) > avg_bal_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "forecast_revenue": QuerySpec(
         forecast_revenue, FORECAST_REVENUE_SQL,
@@ -446,6 +561,14 @@ QUERIES: dict[str, QuerySpec] = {
     "large_volume_customer": QuerySpec(
         large_volume_customer, LARGE_VOLUME_CUSTOMER_SQL,
         "Q18-shaped big-order report, single lineitem aggregate",
+    ),
+    "small_quantity_revenue": QuerySpec(
+        small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL,
+        "Q17-shaped decorrelated per-part average comparison",
+    ),
+    "idle_customer_balance": QuerySpec(
+        idle_customer_balance, IDLE_CUSTOMER_BALANCE_SQL,
+        "Q22-shaped scalar-subquery threshold + anti-join",
     ),
     "percentiles": QuerySpec(
         percentiles, PERCENTILES_SQL,

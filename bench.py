@@ -29,6 +29,8 @@ HEADLINE = [
     "promo_effect",
     "parts_supplier_relationship",
     "large_volume_customer",
+    "small_quantity_revenue",
+    "idle_customer_balance",
     "range_join",
     "percentiles",
     "merge_upsert",
