@@ -545,6 +545,478 @@ ORDER BY c_mktsegment
 """
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: bilateral trade volume between two nations per ship
+    year. nation is broadcast twice (once via supplier, once via customer);
+    the disjunctive nation-pair predicate is applied AFTER both dim joins,
+    on two already-resolved name columns — the only shuffle is
+    lineitem⋈orders on the order key."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: NATION_3's share of PROMO-part revenue sold into
+    ASIA, per order year. Both the numerator (conditional sum) and the
+    denominator run in one aggregate over one scan; the share divides two
+    exact fixed-point longs so the double result is bit-stable against the
+    oracle."""
+    region = (table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = table(spark, sf_dir, "nation")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(
+            nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = (table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    rev_fp = (cents(F.col("l_extendedprice"))
+              * (F.lit(100) - cents(F.col("l_discount"))))
+    nat_fp = F.when(F.col("supp_nation") == "NATION_3", rev_fp).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nat_fp).cast("double")
+             / F.sum(rev_fp).cast("double")).alias("mkt_share"),
+            (F.sum(rev_fp).cast("double") / F.lit(1.0e4)).alias("total_rev"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_REV_FP_SQL = (
+    "CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT) * "
+    "(100 - CAST(FLOOR((l_discount) * 100.0 + 0.5) AS BIGINT))"
+)
+
+MARKET_SHARE_SQL = f"""
+SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_FP_SQL}
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM({_REV_FP_SQL}) AS DOUBLE) AS mkt_share,
+       CAST(SUM({_REV_FP_SQL}) AS DOUBLE) / 10000.0 AS total_rev
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+GROUP BY YEAR(o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit per supplier nation per year for parts whose
+    name contains 'widget'. No partsupp table exists in the testdata, so
+    unit cost is modeled as 10% of p_retailprice; profit stays in exact
+    fixed point (both terms scaled to 1e-4 dollars as longs) until the
+    final division. The `contains` filter prunes part BEFORE broadcast."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", cents(F.col("p_retailprice")).alias("retail_c"))
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    rev_fp = (cents(F.col("l_extendedprice"))
+              * (F.lit(100) - cents(F.col("l_discount"))))
+    cost_fp = (F.col("retail_c") * F.col("l_quantity").cast("long")
+               * F.lit(10))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(rev_fp - cost_fp).cast("double") / F.lit(1.0e4))
+            .alias("sum_profit")
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n.n_name AS supp_nation,
+       CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM({_REV_FP_SQL}
+                - CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT) * 10) AS DOUBLE)
+         / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: per return-flag counts of high- vs low-priority
+    order lines shipped in 1997 (testdata has no l_shipmode, so the
+    return flag plays the grouping role). One fact⋈fact join on the order
+    key, conditional counts in a single aggregate — the canonical
+    'shipping-quality report' plan."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRIORITY_LINE_COUNTS_SQL = """
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: histogram of customers by how many non-LOW-priority
+    orders they placed, including zero-order customers. The LEFT OUTER join
+    keeps every customer; COUNT(o_orderkey) (not COUNT(*)) makes the
+    no-match rows count 0. Two cascaded aggregations — the second one runs
+    over at most |distinct counts| rows, so it's effectively free."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: the supplier(s) with maximum revenue in one
+    quarter. The per-supplier aggregate is tiny (|supplier| rows), so the
+    scalar MAX over it and the final equality join are broadcast —
+    lineitem is scanned exactly once."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev_fp = (cents(F.col("l_extendedprice"))
+              * (F.lit(100) - cents(F.col("l_discount"))))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev_fp).alias("rev_fp")
+    )
+    mx = per_supp.agg(F.max("rev_fp").alias("max_fp"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx),
+                      per_supp.rev_fp == F.col("max_fp"))
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_fp").cast("double") / F.lit(1.0e4))
+            .alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey, SUM({_REV_FP_SQL}) AS rev_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.rev_fp AS DOUBLE) / 10000.0 AS total_revenue
+FROM r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_fp = (SELECT MAX(rev_fp) FROM r)
+ORDER BY s.s_suppkey
+"""
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue over three OR'd brand/size/quantity
+    blocks. The disjunction references both sides of the part⋈lineitem
+    join, so it must evaluate post-join — but the per-side implications
+    (size >= 1, quantity bounds, brand membership) are pushed into the
+    scans as residual filters by Catalyst, shrinking the join inputs."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    blocks = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(
+            _revenue().alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+DISJUNCTIVE_PART_REVENUE_SQL = f"""
+SELECT {_REV_SQL} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def exclusive_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers in one nation who were the SOLE supplier
+    with a returned line on a finished multi-supplier order. The
+    EXISTS(other supplier on the order) becomes a LEFT SEMI self-join and
+    the NOT EXISTS(other supplier also returned) a LEFT ANTI self-join —
+    both on the order key with a supplier-inequality residual, so the
+    self-joined fact shuffles once on l_orderkey and both passes reuse
+    that exchange."""
+    nation = (table(spark, sf_dir, "nation")
+              .filter(F.col("n_name") == "NATION_5")
+              .select("n_nationkey"))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    orders = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2_orderkey)
+            & (l1.l_suppkey != l2.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3_orderkey)
+            & (F.col("l_suppkey") != l3.o3_suppkey),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+EXCLUSIVE_RETURN_SUPPLIER_SQL = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+  )
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "forecast_revenue": QuerySpec(
         forecast_revenue, FORECAST_REVENUE_SQL,
@@ -569,6 +1041,38 @@ QUERIES: dict[str, QuerySpec] = {
     "idle_customer_balance": QuerySpec(
         idle_customer_balance, IDLE_CUSTOMER_BALANCE_SQL,
         "Q22-shaped scalar-subquery threshold + anti-join",
+    ),
+    "volume_shipping": QuerySpec(
+        volume_shipping, VOLUME_SHIPPING_SQL,
+        "Q7-shaped bilateral nation-pair trade volume per year",
+    ),
+    "market_share": QuerySpec(
+        market_share, MARKET_SHARE_SQL,
+        "Q8-shaped conditional revenue share, 8-table star",
+    ),
+    "product_profit": QuerySpec(
+        product_profit, PRODUCT_PROFIT_SQL,
+        "Q9-shaped profit per nation-year with fixed-point cost model",
+    ),
+    "priority_line_counts": QuerySpec(
+        priority_line_counts, PRIORITY_LINE_COUNTS_SQL,
+        "Q12-shaped fact-fact join with conditional counts",
+    ),
+    "customer_order_distribution": QuerySpec(
+        customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "Q13-shaped outer-join histogram, cascaded aggregation",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        top_supplier_revenue, TOP_SUPPLIER_REVENUE_SQL,
+        "Q15-shaped argmax via broadcast scalar max",
+    ),
+    "disjunctive_part_revenue": QuerySpec(
+        disjunctive_part_revenue, DISJUNCTIVE_PART_REVENUE_SQL,
+        "Q19-shaped OR-block predicate over a broadcast join",
+    ),
+    "exclusive_return_supplier": QuerySpec(
+        exclusive_return_supplier, EXCLUSIVE_RETURN_SUPPLIER_SQL,
+        "Q21-shaped semi+anti self-join on the fact table",
     ),
     "percentiles": QuerySpec(
         percentiles, PERCENTILES_SQL,

@@ -31,6 +31,14 @@ HEADLINE = [
     "large_volume_customer",
     "small_quantity_revenue",
     "idle_customer_balance",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "priority_line_counts",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "disjunctive_part_revenue",
+    "exclusive_return_supplier",
     "range_join",
     "percentiles",
     "merge_upsert",

@@ -134,3 +134,41 @@ def test_range_join_no_nested_loop(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "range_join"))
     assert "NestedLoop" not in p, "range join fell back to nested loop"
     assert "Join" in p
+
+
+def test_star_reports_broadcast_all_dims(spark, sf_dir, queries):
+    """Q7/Q8/Q9-shaped reports join 2-4 dimensions onto the fact chain;
+    every dim side must be a broadcast build, and nothing may degenerate
+    into a nested-loop join."""
+    for key in ("volume_shipping", "market_share", "product_profit"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "BroadcastHashJoin" in p, f"{key}: dims not broadcast"
+        assert "NestedLoop" not in p, f"{key}: nested-loop join"
+
+
+def test_exclusive_return_supplier_semi_anti(spark, sf_dir, queries):
+    """The Q21-shaped EXISTS/NOT-EXISTS pair must stay LeftSemi + LeftAnti
+    joins — a rewrite through aggregation or a nested-loop fallback (the
+    supplier-inequality is a residual on the equi-key, not the join key)
+    would not survive a large fact table."""
+    p = plan_of(_build(queries, spark, sf_dir, "exclusive_return_supplier"))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "NestedLoop" not in p
+
+
+def test_customer_order_distribution_outer_join(spark, sf_dir, queries):
+    """Q13-shaped: zero-order customers must come from a LEFT OUTER join
+    (an inner join silently drops them) feeding two cascaded aggregates."""
+    p = plan_of(_build(queries, spark, sf_dir, "customer_order_distribution"))
+    assert "LeftOuter" in p
+    assert p.count("HashAggregate") >= 4  # two aggs × partial+final
+
+
+def test_disjunctive_blocks_stay_on_broadcast_join(spark, sf_dir, queries):
+    """Q19-shaped OR-blocks reference both join sides, so they evaluate
+    post-join — but the join itself must remain a broadcast equi-join on
+    p_partkey with the disjunction as a Filter, never a nested loop."""
+    p = plan_of(_build(queries, spark, sf_dir, "disjunctive_part_revenue"))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
