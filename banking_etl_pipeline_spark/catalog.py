@@ -32,16 +32,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Plain parquet scan → vectorized reader, pushdown.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    (see session.py nanosAsLong); convert to a µs timestamp with integer
-    division — identical truncation to DuckDB's ns→µs handling, so both
-    engines see the same values.
+    `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as long via
+    session.py nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (read as TIMESTAMP_NTZ). Normalize both to a plain µs TimestampType:
+    the session timezone is pinned to UTC, so the NTZ→LTZ cast is an
+    epoch-identity and matches DuckDB's naive-timestamp semantics, while the
+    nanos path truncates ns→µs exactly as DuckDB does.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -21,10 +21,11 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from ..spec import QuerySpec
 
-# events.parquet carries TIMESTAMP(NANOS) → read as long (nanosAsLong) and
-# convert, exactly like catalog.table does for batch.
+# events.parquet carries TIMESTAMP(MICROS, isAdjustedToUTC=false); declare it
+# NTZ and cast to a plain timestamp (session TZ is UTC → epoch-identity),
+# exactly like catalog.table does for batch.
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -37,7 +38,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_completion(result: DataFrame, name: str) -> None:
