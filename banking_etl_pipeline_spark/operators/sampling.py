@@ -1,0 +1,217 @@
+"""Deterministic sampling, dataset splitting, chunking, and heavy hitters —
+the corpus-engineering operators a training-data pipeline runs between
+curation (operators/text.py) and dedup (operators/dedup.py).
+
+Everything is driven by the cross-engine md5 hash (functions/hashing.py), so
+sampling and split assignment are (a) reproducible run-to-run, (b) identical
+on Spark and the DuckDB oracle, and (c) stable under repartitioning — unlike
+`df.sample()`, whose output depends on partition layout and so cannot be
+oracle-checked or reproduced across cluster sizes.
+
+Scale notes:
+- hash-sample / split-assign are narrow per-row maps — zero shuffles; the
+  split report adds one 3-group aggregate (partial map-side combine first).
+- chunking explodes each doc to ceil(len/stride) rows but stays narrow
+  (no shuffle); output row width is bounded by CHUNK_CHARS so downstream
+  partition sizing is predictable at 100 TB.
+- heavy hitters = explode → two-phase hash aggregate (map-side partial
+  combine collapses each partition to its distinct tokens before the
+  shuffle) → TakeOrdered top-k (per-partition heap + driver merge of k
+  rows — never a full sort of the token counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
+from ..spec import QuerySpec
+
+SAMPLE_PCT = 5          # hash-sample keeps buckets 0..4 of 100
+TRAIN_PCT = 80          # train/val/test = 80/10/10
+VAL_PCT = 10
+CHUNK_CHARS = 600       # chunk window (chars)
+CHUNK_STRIDE = 400      # window start spacing (< CHUNK_CHARS → 200-char overlap)
+HEAVY_HITTERS_K = 50
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sample
+# ---------------------------------------------------------------------------
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% row sample of lineitem, keyed on the (orderkey, linenumber) PK.
+
+    The bucket expression is computed per row and never re-seeded, so the
+    sample is a stable row property: re-running at any parallelism, or on a
+    re-partitioned copy of the table, selects exactly the same rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(md5_long(key) % 100 < SAMPLE_PCT).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+_SQL_LI_KEY = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+
+SAMPLE_HASH_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE {sql_md5_long(_SQL_LI_KEY)} % 100 < {SAMPLE_PCT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# train / val / test split
+# ---------------------------------------------------------------------------
+
+
+def _split_col(seeded_key: Column) -> Column:
+    bucket = md5_long(seeded_key) % 100
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by hashed doc_id and report
+    per-split volume (docs, chars, whitespace tokens). The assignment column
+    is what a real pipeline writes out; the report is the oracle-checkable
+    summary of it."""
+    d = table(spark, sf_dir, "documents")
+    assigned = d.select(
+        _split_col(F.concat(F.lit("split:"), F.col("doc_id"))).alias("split"),
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE
+           WHEN {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                < {TRAIN_PCT} THEN 'train'
+           WHEN {sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                < {TRAIN_PCT + VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# overlapping document chunking
+# ---------------------------------------------------------------------------
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice each document into CHUNK_CHARS-char windows every CHUNK_STRIDE
+    chars (200-char overlap — the standard RAG/embedding chunker). Pure
+    sequence+explode+substr column algebra: narrow, no shuffle, no UDF;
+    empty docs produce an empty start sequence and vanish from both engines
+    identically."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(CHUNK_STRIDE)
+    )
+    exploded = d.select(
+        "doc_id", "text", F.explode(starts).alias("start")
+    )
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(CHUNK_CHARS))
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("start") / CHUNK_STRIDE).alias("chunk_id"),
+        F.col("start").alias("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        md5_long(chunk).alias("chunk_hash"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(generate_series(0, length(text) - 1, {CHUNK_STRIDE})) AS start,
+         text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, start, substr(text, start + 1, {CHUNK_CHARS}) AS chunk
+  FROM exploded
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS INTEGER) AS chunk_start,
+       CAST(length(chunk) AS INTEGER) AS chunk_len,
+       {sql_md5_long("chunk")} AS chunk_hash
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (frequent tokens)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most frequent whitespace tokens across the corpus, exact.
+    Ties broken by token string so the top-k cut is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(HEAVY_HITTERS_K)
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT {HEAVY_HITTERS_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sample_hash": QuerySpec(
+        sample_hash, SAMPLE_HASH_SQL,
+        "deterministic md5-bucket row sample",
+    ),
+    "train_val_test_split": QuerySpec(
+        train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL,
+        "hash-assigned 80/10/10 split with volume report",
+    ),
+    "doc_chunking": QuerySpec(
+        doc_chunking, DOC_CHUNKING_SQL,
+        "overlapping fixed-window document chunker",
+    ),
+    "heavy_hitters": QuerySpec(
+        heavy_hitters, HEAVY_HITTERS_SQL,
+        "exact top-k frequent tokens",
+    ),
+}

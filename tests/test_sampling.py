@@ -1,0 +1,70 @@
+"""Unit + plan tests for the corpus-engineering operators
+(banking_etl_pipeline_spark/operators/sampling.py): invariants the oracle
+hash-compare can't express, plus the physical-plan properties that make them
+scale (narrow chunker, top-k without a full sort)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from banking_etl_pipeline_spark.catalog import table
+from banking_etl_pipeline_spark.operators.sampling import (
+    CHUNK_CHARS,
+    CHUNK_STRIDE,
+    HEAVY_HITTERS_K,
+    doc_chunking,
+    heavy_hitters,
+    sample_hash,
+    train_val_test_split,
+)
+from banking_etl_pipeline_spark.plans import plan_of
+
+
+def test_sample_hash_is_stable_and_roughly_sized(spark, sf_dir):
+    a = sample_hash(spark, sf_dir)
+    b = sample_hash(spark, sf_dir).repartition(3)
+    n_total = table(spark, sf_dir, "lineitem").count()
+    n_a = a.count()
+    # stable under re-execution and re-partitioning: identical row sets
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a 5% hash sample should land within [2%, 8%] even at sf0.001
+    assert 0.02 * n_total < n_a < 0.08 * n_total
+
+
+def test_split_partitions_every_document_exactly_once(spark, sf_dir):
+    rep = train_val_test_split(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert {r["split"] for r in rep} == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    by = {r["split"]: r["n_docs"] for r in rep}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+
+
+def test_chunk_count_and_bounds_per_document(spark, sf_dir):
+    chunks = doc_chunking(spark, sf_dir)
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.max("chunk_len").alias("max_len"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = got.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        expected = math.floor((r["n_chars"] - 1) / CHUNK_STRIDE) + 1
+        assert r["n_chunks"] == expected, r
+        assert r["max_len"] <= CHUNK_CHARS
+
+
+def test_chunker_plan_is_narrow(spark, sf_dir):
+    # explode+substr must not shuffle: no Exchange anywhere in the plan
+    p = plan_of(doc_chunking(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_heavy_hitters_topk_avoids_full_sort(spark, sf_dir):
+    p = plan_of(heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # per-partition heap, not a global Sort
+    # vocabulary at tiny SF can be smaller than k
+    assert 0 < heavy_hitters(spark, sf_dir).count() <= HEAVY_HITTERS_K
