@@ -64,6 +64,10 @@ HEADLINE = [
     "corpus_curation",
     "ann_ivf",
     "multimodal_decode",
+    "sample_hash",
+    "train_val_test_split",
+    "doc_chunking",
+    "heavy_hitters",
 ]
 
 
