@@ -428,10 +428,85 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (shingle overlap vs a held-out benchmark subset)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 20  # md5 bucket 0 of 20 → ~5% of docs form the "benchmark" set
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag corpus documents sharing 3-gram
+    shingles with a (hash-designated ~5%) benchmark subset — the overlap
+    check run before training on scraped data so eval items don't leak into
+    the train set.
+
+    Plan shape at 100 TB: the benchmark side is tiny by construction, so its
+    DISTINCT shingle set broadcasts; the corpus side streams through a
+    broadcast semi-ish equi-join (no corpus shuffle for the probe) and one
+    groupBy(doc_id) to score overlap. Contamination ratio = matched distinct
+    shingles / doc's distinct shingles.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", "text")
+    )
+    flagged = _exploded_shingles(docs).withColumn(
+        "bench",
+        md5_long(F.concat(F.lit("bench:"), F.col("doc_id"))) % BENCH_MOD == 0,
+    )
+    bench_shingles = (
+        flagged.filter("bench").select("s").distinct()
+    )
+    corpus = flagged.filter(~F.col("bench"))
+    matched = corpus.join(
+        F.broadcast(bench_shingles.withColumn("hit", F.lit(1))), "s", "left"
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.col("n_shared").cast("double") / F.col("n_shingles"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh,
+         {sql_md5_long("'bench:' || CAST(doc_id AS VARCHAR)")} % {BENCH_MOD} = 0
+             AS bench
+  FROM documents WHERE {_MIN_TOKENS}
+),
+exploded AS (SELECT doc_id, bench, unnest(sh) AS s FROM docs),
+bench_shingles AS (SELECT DISTINCT s FROM exploded WHERE bench),
+scored AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+  FROM exploded e
+  LEFT JOIN bench_shingles b ON e.s = b.s
+  WHERE NOT e.bench
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       CAST(n_shared AS DOUBLE) / n_shingles AS contamination_ratio
+FROM scored WHERE n_shared > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content-hash groupBy"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "MinHash signature + LSH band join"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "16-bit SimHash bucketing"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL, "embedding cosine near-dup pairs"),
+    "decontamination": QuerySpec(decontamination, DECONTAMINATION_SQL, "benchmark-overlap decontamination scan"),
 }

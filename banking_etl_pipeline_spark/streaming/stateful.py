@@ -213,6 +213,81 @@ GROUP BY c.c_mktsegment
 """
 
 
+ATTRIBUTION_HOURS = 24
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: every purchase joined to the same
+    user's clicks in the preceding 24 h (last-touch attribution candidates).
+
+    Both sides carry a watermark, and the join condition bounds click time to
+    [purchase - 24 h, purchase], so the streaming engine can expire click
+    state once the purchase-side watermark passes — state is bounded by
+    (users × clicks-per-24 h), not by stream length. This is THE shape for
+    joining two unbounded streams at scale; an unbounded condition would
+    accumulate state forever.
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "25 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_HOURS} HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_value",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )
+    name = "stream_click_attribution"
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_CLICK_ATTRIBUTION_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS click_id,
+       p.value AS purchase_value,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+           AS gap_seconds
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_HOURS} HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_session_stats": QuerySpec(
         streaming_session_stats, STREAMING_SESSION_STATS_SQL,
@@ -225,5 +300,9 @@ QUERIES: dict[str, QuerySpec] = {
     "streaming_dim_join": QuerySpec(
         streaming_dim_join, STREAMING_DIM_JOIN_SQL,
         "stream-static broadcast dim join",
+    ),
+    "streaming_click_attribution": QuerySpec(
+        streaming_click_attribution, STREAMING_CLICK_ATTRIBUTION_SQL,
+        "watermarked stream-stream interval self-join",
     ),
 }

@@ -68,6 +68,7 @@ HEADLINE = [
     "train_val_test_split",
     "doc_chunking",
     "heavy_hitters",
+    "decontamination",
 ]
 
 

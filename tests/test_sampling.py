@@ -63,6 +63,15 @@ def test_chunker_plan_is_narrow(spark, sf_dir):
     assert "Exchange" not in p
 
 
+def test_decontamination_probe_broadcasts(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.dedup import decontamination
+
+    # the benchmark-shingle probe must be a broadcast join: the corpus side
+    # must not shuffle for it
+    p = plan_of(decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
 def test_heavy_hitters_topk_avoids_full_sort(spark, sf_dir):
     p = plan_of(heavy_hitters(spark, sf_dir))
     assert "TakeOrderedAndProject" in p  # per-partition heap, not a global Sort
