@@ -225,6 +225,37 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Oracle replays the byte-histogram arithmetic in SQL. The corpus is ASCII
+# (octet_length == length — same assumption as MULTIMODAL_DECODE_SQL), so
+# byte-value buckets (code // 32) are countable with character-class
+# regexes; buckets 4-7 (codes >= 128) are structurally zero. Normalized
+# values and the norm are plain double division/addition in the same order
+# as the numpy kernel → bit-identical.
+MULTIMODAL_FEATURES_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS total,
+         CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x1f]', '', 'g')) AS DOUBLE) AS c0,
+         CAST(length(text) - length(regexp_replace(text, '[\\x20-\\x3f]', '', 'g')) AS DOUBLE) AS c1,
+         CAST(length(text) - length(regexp_replace(text, '[\\x40-\\x5f]', '', 'g')) AS DOUBLE) AS c2,
+         CAST(length(text) - length(regexp_replace(text, '[\\x60-\\x7f]', '', 'g')) AS DOUBLE) AS c3
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         CASE WHEN total > 0 THEN c0 / total ELSE c0 END AS v0,
+         CASE WHEN total > 0 THEN c1 / total ELSE c1 END AS v1,
+         CASE WHEN total > 0 THEN c2 / total ELSE c2 END AS v2,
+         CASE WHEN total > 0 THEN c3 / total ELSE c3 END AS v3
+  FROM raw
+)
+SELECT doc_id,
+       [v0, v1, v2, v3, 0.0, 0.0, 0.0, 0.0] AS feature,
+       sqrt(v0*v0 + v1*v1 + v2*v2 + v3*v3) AS feat_norm
+FROM v
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_column(table(spark, sf_dir, "documents"))
     return d.select("doc_id", "image_bytes").mapInPandas(
@@ -242,8 +273,8 @@ QUERIES: dict[str, QuerySpec] = {
         "aspect-preserving resize planning over binary columns",
     ),
     "multimodal_features": QuerySpec(
-        multimodal_features, None,
-        "byte-histogram feature extraction (rows-only; array<double> output)",
+        multimodal_features, MULTIMODAL_FEATURES_SQL,
+        "byte-histogram feature extraction (array<double> output)",
     ),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL,

@@ -13,8 +13,9 @@ Two tiers:
   (band_id, signature) after an explode — the sub-quadratic scale path
   (the join shuffles on the band key; at 100 TB you raise BAND_BITS with
   corpus size to keep buckets small and add bands to hold recall).
-  Rows-only for the driver; tests/test_extensions.py checks its recall
-  against the brute-force truth.
+  Oracle-checked end-to-end — the hyperplanes are md5-derived, so DuckDB
+  regenerates them and reproduces the exact candidate set; additionally
+  tests/test_extensions.py checks recall against the brute-force truth.
 
 Cosine values are bit-identical across engines (sequential double folds both
 sides), so rank ordering matches exactly with a vec_id tie-break.
@@ -111,9 +112,9 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH ANN: candidate pairs share at least one band signature,
-    then exact cosine re-rank over the deduplicated candidate set. Rows-only
-    (recall is probabilistic by design; tests assert recall ≥ threshold vs
-    brute force)."""
+    then exact cosine re-rank over the deduplicated candidate set. Recall is
+    probabilistic by design (tests assert recall ≥ threshold vs brute
+    force), but the operator itself is deterministic and oracle-checked."""
     bands = lsh_bands(spark, sf_dir)
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -149,6 +150,57 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# DuckDB replica of the whole LSH pipeline: the hyperplanes are md5-derived
+# (functions/vectors.py:hyperplane), so the oracle regenerates them from the
+# same formula — weight(p, d) = (md5_long(p || '_' || d) % 2001 - 1000)/1000 —
+# and reproduces signatures, candidate set, and re-rank exactly.
+_SQL_PLANE = (
+    "list_transform(range(0, {dim}), d -> "
+    "CAST(CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% 2001 - 1000 AS DOUBLE) / 1000.0)"
+).format(dim=EMBED_DIM)
+
+ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+planes AS (
+  SELECT p, {_SQL_PLANE} AS pv FROM range({N_BANDS * BAND_BITS}) t(p)
+),
+bits AS (
+  SELECT e.vec_id, CAST(p // {BAND_BITS} AS INTEGER) AS band,
+         CASE WHEN list_dot_product(e.v, planes.pv) >= 0
+              THEN 1 << CAST(p % {BAND_BITS} AS INTEGER) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes
+),
+sigs AS (
+  SELECT vec_id, band, CAST(SUM(bit) AS INTEGER) AS sig
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+  FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine_sim
+  FROM cand
+  JOIN e c ON c.vec_id = cand.vec_id
+  JOIN e q ON q.vec_id = cand.q_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
 
 
 N_CELLS = 16  # IVF coarse-quantizer cells
@@ -272,6 +324,6 @@ WHERE rank <= {TOP_K}
 
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_BRUTE_FORCE_SQL, "exact cosine top-k per query"),
-    "ann_lsh": QuerySpec(ann_lsh, None, "sign-LSH bucketed ANN (rows-only; recall-tested)"),
+    "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL, "sign-LSH bucketed ANN (oracle replays md5 hyperplanes)"),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL, "IVF cell-probe ANN with deterministic quantizer"),
 }

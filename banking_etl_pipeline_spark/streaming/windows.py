@@ -91,8 +91,9 @@ GROUP BY 1, 2, 3
 
 
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 2h-window/1h-slide counts (rows-only: each event lands in two
-    windows; semantics exercised end-to-end through the streaming engine)."""
+    """Sliding 2h-window/1h-slide counts: each event lands in exactly two
+    hour-aligned windows. The oracle enumerates those two window starts per
+    event (unnest of [trunc(ts), trunc(ts) - 1h]) and re-aggregates — exact."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -104,6 +105,18 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type", "n"
     )
+
+
+STREAMING_SLIDING_COUNTS_SQL = """
+WITH w AS (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+             AS window_start
+  FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY window_start, event_type
+"""
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,8 +170,8 @@ QUERIES: dict[str, QuerySpec] = {
         "Structured Streaming tumbling-window aggregate",
     ),
     "streaming_sliding_counts": QuerySpec(
-        streaming_sliding_counts, None,
-        "Structured Streaming sliding-window counts (rows-only)",
+        streaming_sliding_counts, STREAMING_SLIDING_COUNTS_SQL,
+        "Structured Streaming sliding-window counts",
     ),
     "streaming_dedup": QuerySpec(
         streaming_dedup, STREAMING_DEDUP_SQL,
