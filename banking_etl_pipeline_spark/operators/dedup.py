@@ -343,26 +343,37 @@ WHERE CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash via explode + one codegen'd hash aggregate.
+
+    Exploded-row form instead of 16 `F.aggregate` folds over a token-hash
+    array: the folds are interpreted per element (and re-walk the array per
+    bit), while explode + 16 conditional SUMs stay inside whole-stage
+    codegen with ONE md5 per token. The groupBy(doc_id) shuffle is
+    map-side-combined down to one row per doc per partition (explode output
+    never crosses partitions), so shuffle volume is ~n_docs rows — the plan
+    you want when the corpus is 100 TB of text.
+    """
     from pyspark.sql import Window
 
-    d = (
+    ex = (
         table(spark, sf_dir, "documents")
         .repartition(default_parallelism())
-        .select(
-            "doc_id",
-            F.transform(F.split(F.col("text"), " "), md5_long).alias("th"),
-        )
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select("doc_id", md5_long(F.col("tok")).alias("h"))
     )
-    def _bit_balance(j: int):
-        # 2-arg lambda per bit (Spark inspects lambda arity; closures only)
-        return lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
+    balances = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
     simhash = None
     for j in range(16):
-        cnt_j = F.aggregate(F.col("th"), F.lit(0).cast("long"), _bit_balance(j))
-        bit = F.when(cnt_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
-    out = d.select("doc_id", simhash.cast("long").alias("simhash"))
+    out = balances.select("doc_id", simhash.cast("long").alias("simhash"))
     w = Window.partitionBy("simhash")
     return out.select("doc_id", "simhash", F.count(F.lit(1)).over(w).alias("bucket_n"))
 

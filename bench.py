@@ -79,6 +79,10 @@ def main() -> None:
     queries = all_queries()
     keys = [k for k in HEADLINE if k in queries]
 
+    # one-time noop-sink + codegen warmup so the first timed query doesn't
+    # absorb datasource-initialization cost (~2.5 s measured)
+    spark.range(1000).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for key in keys:
         df = queries[key].build(spark, sf_dir)
