@@ -637,9 +637,35 @@ ORDER BY o.o_orderpriority
 """
 
 
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): one row per (part, metric). Narrow
+    per-row expansion — `unpivot` compiles to an Expand node (k output rows
+    per input row, no shuffle, no driver round-trip), the exact inverse of
+    the declared-values pivot above."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+UNPIVOT_LONG_SQL = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
     "pivot_wide": QuerySpec(pivot_wide, PIVOT_WIDE_SQL, "declared-values pivot to wide counts"),
+    "unpivot_long": QuerySpec(unpivot_long, UNPIVOT_LONG_SQL, "wide→long melt via Expand"),
     "project": QuerySpec(project, PROJECT_SQL, "column projection (P1)"),
     "filter_compound": QuerySpec(filter_compound, FILTER_COMPOUND_SQL, "compound boolean filter (P3)"),
     "filter_null": QuerySpec(filter_null, FILTER_NULL_SQL, "null predicate (P4)"),

@@ -350,6 +350,54 @@ GROUP BY band_id
 """
 
 
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's event
+    stream into state intervals (state = event_type), one row per state
+    *change* with [valid_from, valid_to) and an is_current flag — the
+    standard warehouse dimension-versioning shape the reference's
+    dim_customer/dim_account tables imply.
+
+    Plan: one shuffle on user_id, then two window passes within the same
+    sort order (lag to detect change points, lead for interval close) —
+    Catalyst reuses the single sort, so cost ≈ sessionization.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lag("event_type", 1).over(w).alias("prev_state"),
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from", 1).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+SCD2_INTERVALS_SQL = """
+WITH changes AS (
+  SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_state
+  FROM events
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           IS NULL AS is_current
+FROM changes
+WHERE prev_state IS NULL OR prev_state <> state
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
@@ -357,5 +405,6 @@ QUERIES: dict[str, QuerySpec] = {
     "window_range_30d": QuerySpec(window_range_30d, WINDOW_RANGE_30D_SQL, "reference-width 30-day range frame (W3)"),
     "sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL, "gap-based sessionization"),
     "asof_join": QuerySpec(asof_join, ASOF_JOIN_SQL, "as-of join via union+carry-forward"),
+    "scd2_intervals": QuerySpec(scd2_intervals, SCD2_INTERVALS_SQL, "SCD type-2 interval build"),
     "range_join": QuerySpec(range_join, RANGE_JOIN_SQL, "bucketed point-in-interval range join"),
 }

@@ -69,6 +69,8 @@ HEADLINE = [
     "doc_chunking",
     "heavy_hitters",
     "decontamination",
+    "unpivot_long",
+    "scd2_intervals",
 ]
 
 
