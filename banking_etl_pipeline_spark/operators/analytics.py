@@ -1017,6 +1017,225 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Derived part-supplier relation (testdata has no partsupp table): one row
+# per (partkey, suppkey) seen in lineitem, with total quantity as available
+# stock and the minimum observed unit price as supply cost — the relation
+# TPC-H Q2/Q11/Q20 run over, reconstructed from the fact table. The unit
+# price is rounded to exact cents so every downstream product/sum stays in
+# integer arithmetic (hash-stable across engines).
+# ---------------------------------------------------------------------------
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    unit_cents = F.min(
+        cents(F.col("l_extendedprice") / F.col("l_quantity"))
+    ).alias("cost_cents")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").cast("long").alias("ps_availqty"),
+        unit_cents,
+    )
+
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty,
+         MIN(CAST(FLOOR((l_extendedprice / l_quantity) * 100.0 + 0.5) AS BIGINT))
+             AS cost_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+"""
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped min-cost supplier per part within a region.
+
+    The correlated MIN subquery decorrelates to a per-part groupBy-min over
+    the region-filtered part-supplier relation, joined back on equality —
+    two shuffles on partkey (the min agg and the join-back share the
+    partitioning; AQE reuses the exchange). Dims broadcast; cost equality
+    compares exact integer cents, so the argmin is deterministic.
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+
+    regional = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    best = regional.groupBy("ps_partkey").agg(
+        F.min("cost_cents").alias("best_cents")
+    )
+    return (
+        regional.join(
+            best,
+            (regional.ps_partkey == best.ps_partkey)
+            & (regional.cost_cents == best.best_cents),
+        )
+        .drop(best.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("cost_cents").cast("double") / F.lit(100.0)).alias(
+                "supply_cost"
+            ),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH ps AS ({_PARTSUPP_SQL}),
+regional AS (
+  SELECT ps.*, s.s_name, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+best AS (
+  SELECT ps_partkey, MIN(cost_cents) AS best_cents
+  FROM regional GROUP BY ps_partkey
+)
+SELECT p.p_partkey, p.p_name, regional.s_name,
+       regional.n_name AS nation,
+       CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+FROM regional
+JOIN best ON regional.ps_partkey = best.ps_partkey
+         AND regional.cost_cents = best.best_cents
+JOIN part p ON regional.ps_partkey = p.p_partkey
+WHERE p.p_size < 10
+ORDER BY p.p_partkey, regional.s_name
+LIMIT 100
+"""
+
+
+IMPORTANT_STOCK_FRACTION = 0.0005
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped important-stock report: parts whose stock value (availqty
+    × supply cost, exact integer cents) exceeds a fraction of the GLOBAL
+    stock value. The global scalar subquery is a 1-row aggregate broadcast
+    into a cross join — no driver collect, no second scan of the grouped
+    data (the per-part aggregate is computed once and reused for both
+    sides via the cross join)."""
+    ps = _partsupp(spark, sf_dir)
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_availqty") * F.col("cost_cents")).alias("value_cents")
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * IMPORTANT_STOCK_FRACTION
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0)).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+IMPORTANT_STOCK_SQL = f"""
+WITH ps AS ({_PARTSUPP_SQL}),
+per_part AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_availqty * cost_cents) AS BIGINT) AS value_cents
+  FROM ps GROUP BY ps_partkey
+)
+SELECT ps_partkey,
+       CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+FROM per_part
+WHERE CAST(value_cents AS DOUBLE)
+      > (SELECT CAST(SUM(value_cents) AS DOUBLE) FROM per_part)
+        * {IMPORTANT_STOCK_FRACTION}
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+def excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped excess-stock suppliers: suppliers in a nation whose
+    available stock of some small part exceeds 2× what they shipped of it
+    in 1995 — a semi-join chain (parts → part-supplier threshold → supplier
+    list), never a fact-side aggregate per supplier row. The shipped-qty
+    correlated subquery decorrelates to a groupBy on the same
+    (partkey, suppkey) shuffle key as the stock relation."""
+    ps = _partsupp(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("shipped_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.sh_partkey)
+            & (ps.ps_suppkey == shipped.sh_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.lit(2) * F.col("shipped_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+EXCESS_STOCK_SUPPLIER_SQL = f"""
+WITH ps AS ({_PARTSUPP_SQL})
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.ps_suppkey
+  FROM ps
+  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size < 15
+  JOIN (
+    SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+           CAST(SUM(l_quantity) AS BIGINT) AS shipped_qty
+    FROM lineitem WHERE year(l_shipdate) = 1995
+    GROUP BY l_partkey, l_suppkey
+  ) sh ON ps.ps_partkey = sh.sh_partkey AND ps.ps_suppkey = sh.sh_suppkey
+  WHERE ps.ps_availqty > 2 * sh.shipped_qty
+)
+AND s.s_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'
+)
+ORDER BY s.s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "forecast_revenue": QuerySpec(
         forecast_revenue, FORECAST_REVENUE_SQL,
@@ -1073,6 +1292,18 @@ QUERIES: dict[str, QuerySpec] = {
     "exclusive_return_supplier": QuerySpec(
         exclusive_return_supplier, EXCLUSIVE_RETURN_SUPPLIER_SQL,
         "Q21-shaped semi+anti self-join on the fact table",
+    ),
+    "min_cost_supplier": QuerySpec(
+        min_cost_supplier, MIN_COST_SUPPLIER_SQL,
+        "Q2-shaped per-part argmin over derived part-supplier relation",
+    ),
+    "important_stock": QuerySpec(
+        important_stock, IMPORTANT_STOCK_SQL,
+        "Q11-shaped group-vs-global-total threshold report",
+    ),
+    "excess_stock_supplier": QuerySpec(
+        excess_stock_supplier, EXCESS_STOCK_SUPPLIER_SQL,
+        "Q20-shaped nested semi-join supplier selection",
     ),
     "percentiles": QuerySpec(
         percentiles, PERCENTILES_SQL,

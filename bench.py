@@ -71,6 +71,9 @@ HEADLINE = [
     "decontamination",
     "unpivot_long",
     "scd2_intervals",
+    "min_cost_supplier",
+    "important_stock",
+    "excess_stock_supplier",
 ]
 
 
