@@ -92,9 +92,12 @@ def main() -> None:
     for key in keys:
         df = queries[key].build(spark, sf_dir)
         df.count()  # warm the IO path / JIT once per query plan
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):  # min-of-2: steady-state time, not GC/JIT noise
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -65,6 +65,18 @@ def test_existence_stays_semi_join(spark, sf_dir, queries):
     assert "LeftSemi" in p
 
 
+def test_partsupp_shapes(spark, sf_dir, queries):
+    # Q2 analog: every dim joins broadcast; the argmin join-back may shuffle
+    p = plan_of(_build(queries, spark, sf_dir, "min_cost_supplier"))
+    assert p.count("BroadcastExchange") >= 3
+    # Q20 analog: supplier selection stays a semi join, never inner+distinct
+    p = plan_of(_build(queries, spark, sf_dir, "excess_stock_supplier"))
+    assert "LeftSemi" in p
+    # Q11 analog: the global total enters via broadcast, not a driver collect
+    p = plan_of(_build(queries, spark, sf_dir, "important_stock"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
 def test_no_python_eval_in_hot_paths(spark, sf_dir, queries):
     """Relational/window/dedup/text operators must stay JVM-side; only the
     multimodal operators (explicit Arrow mapInPandas plumbing) may run
