@@ -662,6 +662,69 @@ SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
 """
 
 
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (SURVEY.md §2.9 — absent in the reference,
+    free in Spark): case mapping, trim, concat, substring, length, replace,
+    regexp extraction. All codegen'd scalar expressions; narrow."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.lower(F.col("c_mktsegment")).alias("segment_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("name_masked"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       trim('  ' || c_name || ' ') AS name_trimmed,
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits
+FROM customer
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: date_add, add_months, date_trunc,
+    last_day, next-quarter boundary math — the calendar toolkit every
+    incremental pipeline's partition logic leans on."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.last_day(d), d).alias("days_to_month_end"),
+    )
+
+
+DATE_ARITHMETIC_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+           AS days_to_month_end
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
     "pivot_wide": QuerySpec(pivot_wide, PIVOT_WIDE_SQL, "declared-values pivot to wide counts"),
@@ -687,4 +750,6 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_rollup": QuerySpec(cube_rollup, CUBE_ROLLUP_SQL, "rollup aggregate"),
     "set_ops": QuerySpec(set_ops, SET_OPS_SQL, "union/intersect/except"),
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL, "JSON field extraction"),
+    "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL, "string-function surface (§2.9 gap)"),
+    "date_arithmetic": QuerySpec(date_arithmetic, DATE_ARITHMETIC_SQL, "date/interval arithmetic surface"),
 }
