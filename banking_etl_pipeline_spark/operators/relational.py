@@ -725,6 +725,40 @@ FROM orders
 """
 
 
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the ArrayType embedding
+    column: size, slice, element access, filter-count, transform-sum — all
+    JVM-side lambda expressions, no UDF. Sums fold in double sequentially
+    (same as functions/vectors.py), so the oracle matches bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        v.getItem(0).alias("first_component"),
+        F.aggregate(
+            F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("head8_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("sq_norm"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       list_reduce(list_prepend(0.0, embedding[1:8]::DOUBLE[]),
+                   (acc, x) -> acc + x) AS head8_sum,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER)
+           AS n_positive,
+       list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq_norm
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
     "pivot_wide": QuerySpec(pivot_wide, PIVOT_WIDE_SQL, "declared-values pivot to wide counts"),
@@ -752,4 +786,5 @@ QUERIES: dict[str, QuerySpec] = {
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL, "JSON field extraction"),
     "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL, "string-function surface (§2.9 gap)"),
     "date_arithmetic": QuerySpec(date_arithmetic, DATE_ARITHMETIC_SQL, "date/interval arithmetic surface"),
+    "array_funcs": QuerySpec(array_funcs, ARRAY_FUNCS_SQL, "higher-order array-function surface"),
 }
