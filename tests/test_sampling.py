@@ -77,3 +77,42 @@ def test_heavy_hitters_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p  # per-partition heap, not a global Sort
     # vocabulary at tiny SF can be smaller than k
     assert 0 < heavy_hitters(spark, sf_dir).count() <= HEAVY_HITTERS_K
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.windows import scd2_intervals
+
+    rows = scd2_intervals(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        # exactly one open (current) interval per user, and it is the last
+        currents = [r for r in ivs if r["is_current"]]
+        assert len(currents) == 1 and ivs[-1]["is_current"], user
+        for prev, nxt in zip(ivs, ivs[1:]):
+            # intervals chain without gaps or overlaps, and states alternate
+            assert prev["valid_to"] == nxt["valid_from"], user
+            assert prev["state"] != nxt["state"], user
+
+
+def test_decontamination_never_flags_benchmark_docs(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.dedup import (
+        BENCH_MOD,
+        decontamination,
+    )
+    from banking_etl_pipeline_spark.functions.hashing import md5_long
+
+    out = decontamination(spark, sf_dir)
+    # every output doc is a corpus (non-benchmark) doc with sane ratio
+    flagged = out.withColumn(
+        "bench",
+        md5_long(F.concat(F.lit("bench:"), F.col("doc_id"))) % BENCH_MOD == 0,
+    ).collect()
+    assert flagged
+    for r in flagged:
+        assert not r["bench"], r
+        assert 0 < r["n_shared"] <= r["n_shingles"], r
+        assert 0.0 < r["contamination_ratio"] <= 1.0, r
