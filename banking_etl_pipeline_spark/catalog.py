@@ -39,6 +39,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     epoch-identity and matches DuckDB's naive-timestamp semantics, while the
     nanos path truncates ns→µs exactly as DuckDB does.
     """
+    # The external driver may hand us a session it built itself; timestamp
+    # semantics (NTZ→LTZ cast, epoch math, python collection) all assume a
+    # UTC session — pin it here so every table load self-heals.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
 

@@ -31,6 +31,9 @@ EVENTS_SCHEMA = (
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same UTC self-heal as catalog.table — the driver may own the session
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
