@@ -41,9 +41,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # The external driver may hand us a session it built itself; timestamp
     # semantics (NTZ→LTZ cast, epoch math, python collection) all assume a
-    # UTC session — pin it here so every table load self-heals.
+    # UTC session — pin it here so every table load self-heals. Same for the
+    # legacy nanos flag, in case the testdata ever ships TIMESTAMP(NANOS)
+    # again (Spark rejects that physical type outright without it).
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf not recognized on some builds
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
 
