@@ -32,7 +32,6 @@ import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 try:  # delta-spark is optional; parquet is the default columnar format
     from delta.tables import DeltaTable  # type: ignore

@@ -20,7 +20,6 @@ from banking_etl_pipeline_spark.domain.schemas import (
 from banking_etl_pipeline_spark.domain.seed import seed_all
 from banking_etl_pipeline_spark.domain.transactions import (
     clean_transactions,
-    detect_anomalies,
     enrich_transactions,
     transaction_metrics,
     transform_transactions,
@@ -41,7 +40,6 @@ from banking_etl_pipeline_spark.pipeline import (
 from banking_etl_pipeline_spark.sinks.writers import (
     ParquetWarehouse,
     merge_upsert,
-    write_partitioned,
 )
 
 D = decimal.Decimal

@@ -3,7 +3,6 @@ co-located joins."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from banking_etl_pipeline_spark.operators.skew import salted_join, write_bucketed
