@@ -544,6 +544,30 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 
+_GROUPING_SETS_BODY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {{table}}
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint marginals + grand total — a shape
+    ROLLUP can't express). The DataFrame API only exposes cube/rollup, so
+    this goes through the engine's SQL door (§3: every stage output is
+    registered as a view and reachable via spark.sql); Spark plans it as
+    one Expand + single hash aggregate — one scan for all three sets, not
+    three scans. The Spark and DuckDB texts are the same modulo view name."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(_GROUPING_SETS_BODY.format(table="lineitem_gs"))
+
+
+GROUPING_SETS_SQL = _GROUPING_SETS_BODY.format(table="lineitem")
+
+
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT (distinct set semantics in both engines)."""
     c = table(spark, sf_dir, "customer")
@@ -782,6 +806,7 @@ QUERIES: dict[str, QuerySpec] = {
     "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_FLAGS_SQL, "3σ + rule flags (P13)"),
     "ranking": QuerySpec(ranking, RANKING_SQL, "ranking window functions"),
     "cube_rollup": QuerySpec(cube_rollup, CUBE_ROLLUP_SQL, "rollup aggregate"),
+    "grouping_sets": QuerySpec(grouping_sets, GROUPING_SETS_SQL, "explicit GROUPING SETS via the SQL door"),
     "set_ops": QuerySpec(set_ops, SET_OPS_SQL, "union/intersect/except"),
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL, "JSON field extraction"),
     "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL, "string-function surface (§2.9 gap)"),
