@@ -1,1 +1,9 @@
-from .readers import read_csv, read_delta, read_jdbc, read_parquet, read_text  # noqa: F401
+from .readers import (  # noqa: F401
+    read_csv,
+    read_delta,
+    read_jdbc,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)

@@ -42,6 +42,22 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    # JSON-lines source (engine extension; the reference reads only CSV).
+    # Always pass a schema in production — schema inference is an extra
+    # full scan, the same cost trap as the reference's inferSchema=True.
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # ORC columnar source (engine extension): vectorized reader, predicate
+    # pushdown and column pruning exactly like the parquet path.
+    return spark.read.orc(path)
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     # ≅ s3_connector.py:66-83; requires delta-spark jars on the classpath
     try:

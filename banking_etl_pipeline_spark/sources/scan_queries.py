@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
 from ..spec import QuerySpec
-from .readers import read_csv, read_parquet, read_text
+from .readers import read_csv, read_json, read_orc, read_parquet, read_text
 
 _CACHE_ROOT = "/tmp/banking_etl_pipeline_spark_cache"
 
@@ -60,8 +60,36 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCAN_TEXT_SQL = "SELECT text AS value FROM documents"
 
 
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip of `nation` with an explicit schema (no
+    inference scan)."""
+    path = _cache_dir(sf_dir, "nation_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(path)
+    return read_json(
+        spark, path, schema="n_nationkey long, n_name string, n_regionkey long"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+SCAN_JSON_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip of `region` — same columnar pushdown/pruning path as
+    parquet, second columnar format for the source surface."""
+    path = _cache_dir(sf_dir, "region_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").orc(path)
+    return read_orc(spark, path)
+
+
+SCAN_ORC_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL, "CSV scan round-trip (S1)"),
     "scan_parquet": QuerySpec(scan_parquet, SCAN_PARQUET_SQL, "parquet scan (S2)"),
     "scan_text": QuerySpec(scan_text, SCAN_TEXT_SQL, "text-line scan (S5)"),
+    "scan_json": QuerySpec(scan_json, SCAN_JSON_SQL, "JSON-lines scan round-trip"),
+    "scan_orc": QuerySpec(scan_orc, SCAN_ORC_SQL, "ORC scan round-trip"),
 }
