@@ -1,0 +1,390 @@
+"""Corpus-analytics operators over `documents` — the statistics layer of a
+training-data pipeline (BASELINE.json north star, beyond reference parity):
+TF-IDF distinguishing terms, Gopher-style repetition quality rules,
+language-stratified sampling, and duplicate-cluster assignment (connected
+components over the MinHash-LSH near-dup graph).
+
+Scale design:
+- tfidf_top_terms: explode → (doc, term) hash aggregate → df via a window
+  over term → broadcast scalar N → per-doc top-k window. Three key-partition
+  shuffles, each map-side combined; ranking is integer-only (tf desc, df asc,
+  term) so the result is deterministic across engines and cluster layouts.
+- repetition_ratio: bigram explode + two-phase hash aggregate; all ratios are
+  integer-over-integer doubles (bit-identical cross-engine).
+- stratified_sample: per-row md5 bucket against a per-language rate (CASE) —
+  narrow map + one small aggregate; reproducible under any repartitioning,
+  unlike df.sample/TABLESAMPLE (partition-layout dependent).
+- dup_clusters: label propagation (hash-min) over the symmetric LSH pair
+  graph, FIXED 3 iterations = min label within a 3-hop neighborhood. Each
+  iteration is one equi-join + one min-aggregate over the edge list (both
+  shuffles on vertex id). At 100 TB you loop the same two-shuffle step to a
+  fixpoint (labels stop changing — check via a cheap count on
+  label!=prev_label) instead of a fixed count; near-dup cluster diameters are
+  tiny, so 3 hops is the practical fixpoint and keeps the DuckDB oracle
+  expressible as three nested join CTEs.
+
+No reference counterpart (the reference has no corpus layer); the pattern
+follows the public MinHash/label-propagation literature (PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
+from ..functions.numeric import ftrunc, sql_ftrunc
+from ..spec import QuerySpec
+from .dedup import DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
+from .text import tokens
+
+TOP_TERMS_K = 3
+REPETITION_TOP_BIGRAM_MAX = 0.05  # flag docs whose modal bigram exceeds 5%
+# per-language keep-rates (percent): downsample the head language, keep more
+# of the low-resource tail — the standard data-mixing rebalance.
+STRATA_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40}
+STRATA_DEFAULT_RATE = 25
+STRATA_SEED = 7
+CC_ITERATIONS = 3
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per doc by TF-IDF.
+
+    Ranking is by (tf DESC, df ASC, term ASC) — integers and strings only, so
+    the top-k set is identical in Spark and DuckDB even when two terms'
+    double tfidf scores collide to the last ulp. For a fixed doc, tf desc /
+    df asc IS tfidf order (ln(N/df) is monotone decreasing in df); the score
+    column is reported (truncated to 4 dp) but never ordered on.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # document frequency: window over term — reuses the (doc_id, term)
+    # aggregate instead of a second scan + join back
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count("*").over(df_w))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = scored.crossJoin(F.broadcast(n_docs))
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            ftrunc(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+with_df AS (
+  SELECT doc_id, term, tf,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, term, tf, df, n_docs,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+         ) AS INTEGER) AS rank
+  FROM with_df
+)
+SELECT doc_id, term, tf, df, rank,
+       {sql_ftrunc('tf * ln(CAST(n_docs AS DOUBLE) / df)', 4)} AS tfidf
+FROM scored WHERE rank <= {TOP_TERMS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality rules (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics: duplicate-bigram fraction, modal-bigram
+    share, distinct-token ratio, and a rule flag — the repetition filters a
+    pretraining curation pass applies (docs with < 2 tokens are out of rule
+    scope and excluded).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    tok_stats = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+            "distinct_token_ratio"
+        ),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    bg_per_doc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_bg"),
+            F.count("*").alias("distinct_bg"),
+            F.max("c").alias("top_bg"),
+        )
+    )
+    out = tok_stats.join(bg_per_doc, "doc_id")
+    top_frac = F.col("top_bg").cast("double") / F.col("total_bg")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        (
+            F.lit(1.0)
+            - F.col("distinct_bg").cast("double") / F.col("total_bg")
+        ).alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (top_frac > F.lit(REPETITION_TOP_BIGRAM_MAX)).alias("is_repetitive"),
+    )
+
+
+REPETITION_RATIO_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio
+  FROM base
+),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+),
+bg_per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS total_bg,
+         CAST(COUNT(*) AS BIGINT) AS distinct_bg,
+         CAST(MAX(c) AS BIGINT) AS top_bg
+  FROM bgc GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.distinct_token_ratio,
+       1.0 - CAST(distinct_bg AS DOUBLE) / total_bg AS dup_bigram_frac,
+       CAST(top_bg AS DOUBLE) / total_bg AS top_bigram_frac,
+       CAST(top_bg AS DOUBLE) / total_bg > {REPETITION_TOP_BIGRAM_MAX}
+           AS is_repetitive
+FROM tok_stats s JOIN bg_per_doc b ON s.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _rate_col() -> F.Column:
+    expr = F.lit(STRATA_DEFAULT_RATE)
+    out = None
+    for lang, rate in STRATA_RATES.items():
+        cond = F.col("lang") == lang
+        out = F.when(cond, rate) if out is None else out.when(cond, rate)
+    return out.otherwise(expr)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance report: per (lang, source) stratum, how many
+    docs/chars the per-language hash-sample keeps. The keep decision is a
+    pure row property (md5 bucket vs the language's rate), so the sampled
+    corpus is identical at any parallelism — the property `df.sample` lacks.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat_ws(":", F.lit(str(STRATA_SEED)), F.col("doc_id"))
+    ) % 100
+    kept = F.col("bucket") < _rate_col()
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", bucket.alias("bucket"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+_SQL_BUCKET = sql_md5_long(f"'{STRATA_SEED}:' || CAST(doc_id AS VARCHAR)") + " % 100"
+_SQL_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{l}' THEN {r}" for l, r in STRATA_RATES.items())
+    + f" ELSE {STRATA_DEFAULT_RATE} END"
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, source, n_chars,
+         {_SQL_BUCKET} AS bucket, {_SQL_RATE} AS rate
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+FROM b GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+
+def propagate_min_labels(
+    pairs: DataFrame, iterations: int = CC_ITERATIONS
+) -> DataFrame:
+    """Hash-min label propagation over an undirected pair list
+    (columns doc_a, doc_b) → (v, label) with label = min vertex id within
+    `iterations` hops. Each iteration = one equi-join + one min-aggregate.
+    """
+    # persist the symmetric edge list: every downstream consumer (verts,
+    # adj, each propagation round) re-derives the expensive LSH pair stage
+    # otherwise — this persist is the edge-list materialization a cluster
+    # job would also do once
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    # self-loop rows keep a vertex's own label in the min() each round;
+    # persisted too so the distinct isn't replayed once per iteration
+    adj = sym.unionByName(
+        verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+    ).persist()
+    labels = verts.select("v", F.col("v").alias("label"))
+    for _ in range(iterations):
+        labels = (
+            adj.join(
+                labels.select(F.col("v").alias("u"), "label"),
+                F.col("dst") == F.col("u"),
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("v"), "label")
+        )
+    return labels
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every LSH-near-duplicate doc to a cluster: hash-min label
+    propagation over the symmetric pair graph, 3 iterations (see module doc).
+    cluster_id = min doc_id within 3 hops; cluster_size = docs sharing it.
+    Downstream, a curation pass keeps one representative (min doc_id) per
+    cluster — exactly what `cluster_id == doc_id` selects.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = propagate_min_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _sql_cc_iter(prev: str, cur: str) -> str:
+    return (
+        f"{cur} AS (SELECT a.src AS v, MIN(l.label) AS label "
+        f"FROM adj a JOIN {prev} l ON a.dst = l.v GROUP BY a.src)"
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL}) z
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+adj AS (
+  SELECT src, dst FROM sym
+  UNION ALL
+  SELECT v AS src, v AS dst FROM verts
+),
+l0 AS (SELECT v, v AS label FROM verts),
+{_sql_cc_iter('l0', 'l1')},
+{_sql_cc_iter('l1', 'l2')},
+{_sql_cc_iter('l2', 'l3')},
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM l3 GROUP BY label
+)
+SELECT l3.v AS doc_id, l3.label AS cluster_id, sizes.cluster_size
+FROM l3 JOIN sizes ON l3.label = sizes.label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tfidf_top_terms": QuerySpec(
+        tfidf_top_terms,
+        TFIDF_TOP_TERMS_SQL,
+        "top-3 TF-IDF terms per doc; integer-only ranking",
+    ),
+    "repetition_ratio": QuerySpec(
+        repetition_ratio,
+        REPETITION_RATIO_SQL,
+        "Gopher-style repetition quality metrics per doc",
+    ),
+    "stratified_sample": QuerySpec(
+        stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        "per-language deterministic hash sample, mixing report",
+    ),
+    "dup_clusters": QuerySpec(
+        dup_clusters,
+        DUP_CLUSTERS_SQL,
+        "connected components (3-iter hash-min) over LSH near-dup pairs",
+    ),
+}

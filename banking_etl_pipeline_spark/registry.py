@@ -21,6 +21,12 @@ try:  # extension operators land incrementally; keep the registry importable
 except ImportError:  # pragma: no cover
     pass
 try:
+    from .operators import corpus as _corpus
+
+    _MODULES.append(_corpus)
+except ImportError:  # pragma: no cover
+    pass
+try:
     from .operators import similarity as _similarity
 
     _MODULES.append(_similarity)

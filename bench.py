@@ -74,6 +74,10 @@ HEADLINE = [
     "min_cost_supplier",
     "important_stock",
     "excess_stock_supplier",
+    "tfidf_top_terms",
+    "repetition_ratio",
+    "stratified_sample",
+    "dup_clusters",
 ]
 
 

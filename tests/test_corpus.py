@@ -1,0 +1,94 @@
+"""Unit tests for the corpus-analytics operators (operators/corpus.py):
+label-propagation semantics on a literal graph plus per-row invariants the
+oracle hash comparison can't express directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_etl_pipeline_spark.operators.corpus import (
+    TOP_TERMS_K,
+    dup_clusters,
+    propagate_min_labels,
+    repetition_ratio,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+def _labels(spark, pairs, iterations):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {
+        r["v"]: r["label"]
+        for r in propagate_min_labels(df, iterations).collect()
+    }
+
+
+def test_propagation_three_hops_on_chain(spark):
+    # chain 1-2-3-4-5: after 3 iterations a vertex sees min(label) within
+    # 3 hops — vertex 5 reaches 2 but not 1 (fixed-iteration semantics)
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], 3)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+    # one more iteration converges the chain fully
+    got4 = _labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], 4)
+    assert got4 == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+
+def test_propagation_converges_small_components(spark):
+    # triangle {1,2,3} + disjoint pair {10,11}: diameter ≤ 2, so 3
+    # iterations are a true fixpoint
+    got = _labels(spark, [(1, 2), (2, 3), (1, 3), (10, 11)], 3)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_representative_invariants(spark, sf_dir):
+    rows = dup_clusters(spark, sf_dir).collect()
+    assert rows, "LSH near-dup graph should be non-empty on the testdata"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        # the representative (min doc_id) is a member of its own cluster
+        assert min(m["doc_id"] for m in members) == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    df = tfidf_top_terms(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("max_rank")
+    )
+    bad = per_doc.filter(
+        (F.col("n") > TOP_TERMS_K) | (F.col("max_rank") > TOP_TERMS_K)
+    ).count()
+    assert bad == 0
+    assert df.filter((F.col("tf") < 1) | (F.col("df") < 1)).count() == 0
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    df = repetition_ratio(spark, sf_dir)
+    out_of_range = df.filter(
+        (F.col("distinct_token_ratio") <= 0)
+        | (F.col("distinct_token_ratio") > 1)
+        | (F.col("dup_bigram_frac") < 0)
+        | (F.col("dup_bigram_frac") >= 1)
+        | (F.col("top_bigram_frac") <= 0)
+        | (F.col("top_bigram_frac") > 1)
+    ).count()
+    assert out_of_range == 0
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    rows = stratified_sample(spark, sf_dir).collect()
+    assert all(r["n_kept"] <= r["n_docs"] for r in rows)
+    # aggregate keep-rate per language respects the configured ordering:
+    # 'en' is downsampled hardest (10% vs 40/25 elsewhere)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    rates = {
+        lang: sum(r["n_kept"] for r in rs) / sum(r["n_docs"] for r in rs)
+        for lang, rs in by_lang.items()
+    }
+    assert rates["en"] < max(rates.values())
