@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.numeric import ftrunc, sql_ftrunc
 from ..functions.vectors import as_double, dot, hyperplane
 from ..spec import QuerySpec
 
@@ -322,8 +323,168 @@ WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# vector aggregation: per-label centroids + one Lloyd assignment step
+# ---------------------------------------------------------------------------
+
+# centroid components are discretized to 6-dp fixed point so the arrays are
+# bit-identical across engines before any distance math happens on them
+_CENT_SCALE = 1_000_000.0
+
+
+def _centroid_frame(e: DataFrame):
+    """(label, n_vecs, c: array<double>) — 64 avg aggregates in one
+    hash-aggregate pass (no explode: the shuffle carries one 64-double
+    partial buffer per (partition, label), not 64 rows per vector — the
+    k-means-training aggregation you want when the corpus is 100 TB)."""
+    aggs = [
+        F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(EMBED_DIM)
+    ]
+    g = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *aggs)
+    comps = [
+        F.floor(F.col(f"c{i}") * _CENT_SCALE + F.lit(0.5)) / _CENT_SCALE
+        for i in range(EMBED_DIM)
+    ]
+    return g.select("label", "n_vecs", F.array(*comps).alias("c"))
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid summary — the training half of IVF/k-means."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    cent = _centroid_frame(e)
+    vec_norms = e.groupBy("label").agg(
+        ftrunc(F.avg(F.sqrt(dot(F.col("v"), F.col("v")))), 6).alias(
+            "mean_vec_norm"
+        )
+    )
+    return (
+        cent.join(vec_norms, "label")
+        .select(
+            "label",
+            "n_vecs",
+            ftrunc(F.sqrt(dot(F.col("c"), F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+            "mean_vec_norm",
+        )
+    )
+
+
+_SQL_CENT_COMPS = ", ".join(
+    f"FLOOR(avg(v[{i + 1}]) * {_CENT_SCALE} + 0.5) / {_CENT_SCALE}"
+    for i in range(EMBED_DIM)
+)
+
+EMBEDDING_CENTROIDS_SQL = f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+g AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         [{_SQL_CENT_COMPS}] AS c,
+         {sql_ftrunc('avg(sqrt(list_dot_product(v, v)))', 6)} AS mean_vec_norm
+  FROM e GROUP BY label
+)
+SELECT label, n_vecs,
+       {sql_ftrunc('sqrt(list_dot_product(c, c))', 6)} AS centroid_norm,
+       mean_vec_norm
+FROM g
+"""
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration: every vector → nearest per-label centroid
+    (squared L2 via the dot-product identity), reported as a
+    (label, assigned_label) confusion matrix with mean distance.
+
+    The argmin is decorrelated (groupBy-min + equality join-back, min
+    assigned label on ties) — same shape as min_cost_supplier — and the
+    centroid side is broadcast: the canonical cluster plan where the
+    only full shuffle is the per-vector min aggregate."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cent = _centroid_frame(e).select(
+        F.col("label").alias("cent_label"),
+        "c",
+        dot(F.col("c"), F.col("c")).alias("cdot"),
+    )
+    scored = (
+        e.withColumn("vdot", dot(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "cent_label",
+            (
+                F.col("vdot")
+                - 2.0 * dot(F.col("v"), F.col("c"))
+                + F.col("cdot")
+            ).alias("dist"),
+        )
+    )
+    m = scored.groupBy(F.col("vec_id").alias("m_vec_id")).agg(
+        F.min("dist").alias("min_dist")
+    )
+    best = (
+        scored.join(
+            m,
+            (F.col("vec_id") == F.col("m_vec_id"))
+            & (F.col("dist") == F.col("min_dist")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min("cent_label").alias("assigned_label"),
+            F.min("min_dist").alias("min_dist"),
+        )
+    )
+    return best.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        ftrunc(F.avg("min_dist"), 6).alias("mean_sq_dist"),
+    )
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+g AS (
+  SELECT label AS cent_label, [{_SQL_CENT_COMPS}] AS c
+  FROM e GROUP BY label
+),
+cc AS (SELECT cent_label, c, list_dot_product(c, c) AS cdot FROM g),
+scored AS (
+  SELECT e.vec_id, e.label, cc.cent_label,
+         list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cc.c)
+           + cc.cdot AS dist
+  FROM e, cc
+),
+m AS (SELECT vec_id, MIN(dist) AS min_dist FROM scored GROUP BY vec_id),
+best AS (
+  SELECT s.vec_id, s.label,
+         MIN(s.cent_label) AS assigned_label,
+         MIN(m.min_dist) AS min_dist
+  FROM scored s JOIN m ON s.vec_id = m.vec_id AND s.dist = m.min_dist
+  GROUP BY s.vec_id, s.label
+)
+SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_ftrunc('AVG(min_dist)', 6)} AS mean_sq_dist
+FROM best GROUP BY label, assigned_label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_BRUTE_FORCE_SQL, "exact cosine top-k per query"),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL, "sign-LSH bucketed ANN (oracle replays md5 hyperplanes)"),
     "ann_ivf": QuerySpec(ann_ivf, ANN_IVF_SQL, "IVF cell-probe ANN with deterministic quantizer"),
+    "embedding_centroids": QuerySpec(
+        embedding_centroids,
+        EMBEDDING_CENTROIDS_SQL,
+        "per-label centroid summary (64 avg aggs, no explode)",
+    ),
+    "kmeans_assign": QuerySpec(
+        kmeans_assign,
+        KMEANS_ASSIGN_SQL,
+        "one Lloyd step: broadcast centroids, decorrelated argmin",
+    ),
 }

@@ -78,6 +78,8 @@ HEADLINE = [
     "repetition_ratio",
     "stratified_sample",
     "dup_clusters",
+    "embedding_centroids",
+    "kmeans_assign",
 ]
 
 

@@ -79,6 +79,32 @@ def test_repetition_ratio_bounds(spark, sf_dir):
     assert out_of_range == 0
 
 
+def test_kmeans_assign_diagonal_dominance(spark, sf_dir):
+    # per-label centroids should re-attract their own members far above the
+    # 1/n_labels random-assignment rate (0.41 observed vs 0.10 random)
+    from banking_etl_pipeline_spark.operators.similarity import kmeans_assign
+
+    rows = kmeans_assign(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    diag = sum(r["n"] for r in rows if r["label"] == r["assigned_label"])
+    assert total > 0
+    assert diag / total > 0.25
+    assert all(r["mean_sq_dist"] >= 0 for r in rows)
+
+
+def test_embedding_centroids_shape(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = embedding_centroids(spark, sf_dir).collect()
+    assert {r["label"] for r in rows} == set(range(10))
+    for r in rows:
+        # near-uniform corpus: centroid magnitude collapses well below the
+        # average member norm
+        assert 0 < r["centroid_norm"] < r["mean_vec_norm"]
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     rows = stratified_sample(spark, sf_dir).collect()
     assert all(r["n_kept"] <= r["n_docs"] for r in rows)
