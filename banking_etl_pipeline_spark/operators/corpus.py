@@ -366,7 +366,78 @@ FROM l3 JOIN sizes ON l3.label = sizes.label
 """
 
 
+# ---------------------------------------------------------------------------
+# inverted index build (term → posting list, digest-verified)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: term → (df, total tf, posting digest).
+
+    The full positional posting list IS built — `doc:pos1,pos2;doc2:...`,
+    docs ascending, positions ascending — then reported as its md5 so the
+    oracle verifies every byte of the index without hashing nested arrays.
+    Two shuffles: (term, doc_id) then term — the standard index-build plan.
+    At 100 TB the term key is Zipf-skewed; the production variant shards hot
+    terms by doc-id range into segment files (same two-phase shape, key =
+    (term, doc_shard)), which this plan reaches by adding one salt column.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id"),
+            F.array_join(F.sort_array(F.collect_list("pos")), ","),
+        ).alias("entry"),
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "entry"))
+                    ),
+                    lambda x: x["entry"],
+                ),
+                ";",
+            )
+        ).alias("postings_md5"),
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+),
+per_doc AS (
+  SELECT term, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(doc_id AS VARCHAR) || ':' ||
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry
+  FROM tok GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       md5(string_agg(entry, ';' ORDER BY doc_id)) AS postings_md5
+FROM per_doc GROUP BY term
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "inverted_index": QuerySpec(
+        inverted_index,
+        INVERTED_INDEX_SQL,
+        "positional inverted index, md5-digest-verified postings",
+    ),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms,
         TFIDF_TOP_TERMS_SQL,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.numeric import cents
 from ..spec import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -250,7 +251,72 @@ SELECT
 """
 
 
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based DQ: Tukey-fence outlier count on o_totalprice.
+
+    Two passes by necessity (fences depend on quartiles): a 1-row exact
+    quartile aggregate, broadcast back over the scan, then one conditional
+    count. All fence math happens in integer half-cents (2·q1−3·iqr) so the
+    comparison is exact in both engines — interpolated quartiles land on
+    .xx5/.xx25 binary-exact fractions, never on a rounding boundary. At
+    100 TB, swap the exact percentile for approx_percentile(·, ·, 1e-5):
+    the cents discretization makes the swap drop-in; exact percentile
+    buffers every value of the column in one aggregate buffer, which is a
+    single-node concentration this operator otherwise avoids."""
+    o = table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        cents(F.percentile("o_totalprice", F.lit(0.25))).alias("q1_c"),
+        cents(F.percentile("o_totalprice", F.lit(0.75))).alias("q3_c"),
+    )
+    iqr = F.col("q3_c") - F.col("q1_c")
+    lo2 = 2 * F.col("q1_c") - 3 * iqr  # half-cents
+    hi2 = 2 * F.col("q3_c") + 3 * iqr
+    p2 = 2 * cents(F.col("o_totalprice"))
+    return (
+        o.select(p2.alias("p2"))
+        .crossJoin(F.broadcast(q))
+        .groupBy("total_rows", "q1_c", "q3_c")
+        .agg(
+            F.sum(
+                ((F.col("p2") < lo2) | (F.col("p2") > hi2)).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "total_rows",
+            (F.col("q1_c").cast("double") / 100.0).alias("q1_price"),
+            (F.col("q3_c").cast("double") / 100.0).alias("q3_price"),
+            "n_outliers",
+        )
+    )
+
+
+DQ_OUTLIER_IQR_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         CAST(FLOOR(quantile_cont(o_totalprice, 0.25) * 100.0 + 0.5) AS BIGINT) AS q1_c,
+         CAST(FLOOR(quantile_cont(o_totalprice, 0.75) * 100.0 + 0.5) AS BIGINT) AS q3_c
+  FROM orders
+)
+SELECT s.total_rows,
+       CAST(s.q1_c AS DOUBLE) / 100.0 AS q1_price,
+       CAST(s.q3_c AS DOUBLE) / 100.0 AS q3_price,
+       CAST(SUM(CASE WHEN 2 * CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          < 2 * s.q1_c - 3 * (s.q3_c - s.q1_c)
+                     OR 2 * CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          > 2 * s.q3_c + 3 * (s.q3_c - s.q1_c)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o CROSS JOIN s
+GROUP BY s.total_rows, s.q1_c, s.q3_c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_outlier_iqr": QuerySpec(
+        dq_outlier_iqr,
+        DQ_OUTLIER_IQR_SQL,
+        "Tukey-fence outlier count (integer half-cent fences)",
+    ),
     "dq_null_counts": QuerySpec(dq_null_counts, DQ_NULL_COUNTS_SQL, "single-pass null counts (Q1)"),
     "dq_dup_count": QuerySpec(dq_dup_count, DQ_DUP_COUNT_SQL, "duplicate-key count (Q2)"),
     "dq_range_violations": QuerySpec(dq_range_violations, DQ_RANGE_VIOLATIONS_SQL, "range-violation counts (Q3)"),

@@ -80,6 +80,8 @@ HEADLINE = [
     "dup_clusters",
     "embedding_centroids",
     "kmeans_assign",
+    "inverted_index",
+    "dq_outlier_iqr",
 ]
 
 

@@ -184,3 +184,38 @@ def test_disjunctive_blocks_stay_on_broadcast_join(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "disjunctive_part_revenue"))
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir, queries):
+    """The Lloyd-step scored relation must broadcast the 10-row centroid
+    side (BroadcastNestedLoopJoin for the cross join) — a shuffled cartesian
+    would be catastrophic at corpus scale."""
+    p = plan_of(_build(queries, spark, sf_dir, "kmeans_assign"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dq_outlier_iqr_broadcasts_quartiles(spark, sf_dir, queries):
+    """The 1-row quartile aggregate joins back over the scan via broadcast,
+    and the scan reads only the single measured column."""
+    p = plan_of(_build(queries, spark, sf_dir, "dq_outlier_iqr"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    scan_line = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "o_totalprice" in scan_line
+    assert "o_orderdate" not in scan_line
+
+
+def test_tfidf_no_extra_scan_for_df(spark, sf_dir, queries):
+    """Document frequency comes from a window over the (doc, term) aggregate
+    — the documents parquet must be scanned at most twice (terms + the 1-row
+    corpus count), never once per subexpression."""
+    p = plan_of(_build(queries, spark, sf_dir, "tfidf_top_terms"))
+    assert p.count("documents.parquet") <= 2
+
+
+def test_inverted_index_stays_jvm_side(spark, sf_dir, queries):
+    """Index build is two hash aggregates; collect_list runs as an
+    ObjectHashAggregate (no sort-based fallback in the plan by default)."""
+    p = plan_of(_build(queries, spark, sf_dir, "inverted_index"))
+    assert "ObjectHashAggregate" in p
+    assert "CartesianProduct" not in p
