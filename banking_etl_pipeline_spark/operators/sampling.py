@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -197,7 +197,82 @@ LIMIT {HEAVY_HITTERS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-split into fixed-token training sequences)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each language's documents in
+    doc_id order into one token stream, then split the stream into
+    SEQ_LEN-token training sequences. Per doc: which sequence it starts and
+    ends in, and its offset in the stream — everything integer, from ONE
+    running-sum window per language (a single hash-partition shuffle on
+    lang; at 100 TB the partition key becomes (lang, stream_shard) with
+    per-shard streams, same plan shape). Token counts are BPE-ish pre-token
+    counts (operators/text.py BPE_PATTERN).
+    """
+    from .text import BPE_PATTERN
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("lang", "doc_id", n_tok.alias("n_tokens"))
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start_off = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.filter(F.col("n_tokens") > 0).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        start_off.alias("stream_offset"),
+        F.floor(start_off / SEQ_LEN).alias("start_seq"),
+        F.floor((F.col("cum_tokens") - 1) / SEQ_LEN).alias("end_seq"),
+        (start_off % SEQ_LEN).alias("offset_in_seq"),
+    )
+
+
+def _pack_sql() -> str:
+    from .text import BPE_PATTERN
+
+    return f"""
+WITH base AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+  FROM base
+)
+SELECT lang, doc_id, n_tokens,
+       cum_tokens - n_tokens AS stream_offset,
+       CAST((cum_tokens - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((cum_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_seq,
+       (cum_tokens - n_tokens) % {SEQ_LEN} AS offset_in_seq
+FROM cum WHERE n_tokens > 0
+"""
+
+
+PACK_SEQUENCES_SQL = _pack_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pack_sequences": QuerySpec(
+        pack_sequences, PACK_SEQUENCES_SQL,
+        "concat-then-split fixed-token sequence packing",
+    ),
     "sample_hash": QuerySpec(
         sample_hash, SAMPLE_HASH_SQL,
         "deterministic md5-bucket row sample",

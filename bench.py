@@ -82,6 +82,7 @@ HEADLINE = [
     "kmeans_assign",
     "inverted_index",
     "dq_outlier_iqr",
+    "pack_sequences",
 ]
 
 

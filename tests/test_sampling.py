@@ -116,3 +116,28 @@ def test_decontamination_never_flags_benchmark_docs(spark, sf_dir):
         assert not r["bench"], r
         assert 0 < r["n_shared"] <= r["n_shingles"], r
         assert 0.0 < r["contamination_ratio"] <= 1.0, r
+
+
+def test_pack_sequences_stream_is_contiguous(spark, sf_dir):
+    """Within each language stream, documents tile the token stream with no
+    gaps or overlaps, and the packed-sequence bookkeeping is consistent."""
+    from banking_etl_pipeline_spark.operators.sampling import (
+        SEQ_LEN,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["offset_in_seq"] < SEQ_LEN
+        assert r["start_seq"] <= r["end_seq"]
+        assert r["stream_offset"] % SEQ_LEN == r["offset_in_seq"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    for docs in by_lang.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in docs:
+            assert r["stream_offset"] == off, "gap or overlap in token stream"
+            off += r["n_tokens"]
