@@ -113,3 +113,44 @@ def test_merge_upsert_idempotent_and_right_biased(spark, target, updates):
         if k not in ukeys:
             assert merged[k] == v  # unmatched target survives
     assert set(merged) == set(tkeys) | set(ukeys)
+
+
+# ---------------------------------------------------------------------------
+# label propagation matches a pure-Python k-hop min-label model
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1, max_size=20,
+)
+
+
+def _model_propagate(edges, iterations):
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        labels = {
+            v: min([labels[v]] + [labels[u] for u in adj[v]]) for v in adj
+        }
+    return labels
+
+
+@given(edges=edge_lists, iterations=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_propagate_min_labels_matches_model(spark, edges, iterations):
+    from banking_etl_pipeline_spark.operators.corpus import (
+        propagate_min_labels,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["v"]: r["label"]
+        for r in propagate_min_labels(df, iterations).collect()
+    }
+    assert got == _model_propagate(edges, iterations)
