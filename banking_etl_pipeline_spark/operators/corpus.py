@@ -367,6 +367,100 @@ FROM l3 JOIN sizes ON l3.label = sizes.label
 
 
 # ---------------------------------------------------------------------------
+# bigram language-model score (KenLM-style quality-filter proxy)
+# ---------------------------------------------------------------------------
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-probability under a corpus-wide bigram LM with
+    add-one smoothing: avg over the doc's bigram occurrences of
+    ln((c(w1,w2) + 1) / (c(w1) + V)). The perplexity-style filter a
+    pretraining pipeline uses to drop incoherent text — docs scoring far
+    below the corpus mean are gibberish relative to the corpus's own
+    statistics.
+
+    Plan: one bigram explode feeds BOTH the corpus counts and the per-doc
+    scoring (Spark reuses the shuffle output of the (w1, w2) aggregate);
+    context counts come from a window over w1 on that same aggregate — the
+    scoring join is (doc bigrams) ⋈ (bigram stats) on the bigram key, the
+    vocabulary scalar rides a broadcast 1-row join. At 100 TB the bigram
+    stats table is the Zipf-skewed side: frequency-cap or broadcast its
+    head (the top ~1e6 bigrams cover almost all occurrences) and let the
+    tail default to the smoothing floor.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    big = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.concat_ws(
+            " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    # corpus statistics: c2 per bigram, c1 per context (window over w1 on
+    # the bigram aggregate — no second pass over the corpus)
+    stats = (
+        big.groupBy("w1", "bg")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("c2", F.col("n_occ"))
+        .withColumn("c1", F.sum("n_occ").over(Window.partitionBy("w1")))
+    )
+    vocab = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        big.join(stats.select("bg", "c2", "c1"), "bg")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        ftrunc(F.avg("lp"), 6).alias("lm_score"),
+    )
+
+
+LM_SCORE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+stats AS (
+  SELECT w1, bg, COUNT(*) AS c2 FROM big GROUP BY w1, bg
+),
+ctx AS (
+  SELECT w1, bg, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM stats
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+scored AS (
+  SELECT b.doc_id,
+         ln(CAST(c.c2 + 1 AS DOUBLE) / CAST(c.c1 + vocab.v AS DOUBLE)) AS lp
+  FROM big b JOIN ctx c ON b.bg = c.bg CROSS JOIN vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(AVG(lp) * 1000000.0) / 1000000.0 AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # inverted index build (term → posting list, digest-verified)
 # ---------------------------------------------------------------------------
 
@@ -433,6 +527,11 @@ FROM per_doc GROUP BY term
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "lm_score": QuerySpec(
+        lm_score,
+        LM_SCORE_SQL,
+        "bigram-LM mean log-prob per doc (add-one smoothing)",
+    ),
     "inverted_index": QuerySpec(
         inverted_index,
         INVERTED_INDEX_SQL,

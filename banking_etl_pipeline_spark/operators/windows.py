@@ -398,7 +398,108 @@ WHERE prev_state IS NULL OR prev_state <> state
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: a click only counts
+    after the user's first view, a purchase only after that qualified click.
+
+    Three chained running-min windows over ONE (user_id) partitioning —
+    Spark plans a single Exchange + Sort and evaluates the window trio in
+    sequence, so funnel depth adds zero shuffles (the property that keeps
+    a 10-stage funnel viable over 100 TB of events). Timestamps only —
+    no float anywhere — so cross-engine equality is exact.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = e.select("user_id", "event_id", "ts", "event_type")
+    s1 = base.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("first_view").isNotNull().cast("int")).alias("viewed"),
+        F.max(F.col("first_click").isNotNull().cast("int")).alias("clicked"),
+        F.max(F.col("first_purchase").isNotNull().cast("int")).alias(
+            "purchased"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked_after_view"),
+        F.sum("purchased").alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_view
+  FROM events
+),
+s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_click
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS first_purchase
+  FROM s2
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+         MAX(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS purchased
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+       CAST(SUM(clicked) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchased_after_click
+FROM per_user
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "funnel_conversion": QuerySpec(
+        funnel_conversion,
+        FUNNEL_CONVERSION_SQL,
+        "ordered view→click→purchase funnel, one shuffle for 3 stages",
+    ),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
     "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),

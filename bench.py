@@ -83,6 +83,8 @@ HEADLINE = [
     "inverted_index",
     "dq_outlier_iqr",
     "pack_sequences",
+    "lm_score",
+    "funnel_conversion",
 ]
 
 

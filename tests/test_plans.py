@@ -219,3 +219,12 @@ def test_inverted_index_stays_jvm_side(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "inverted_index"))
     assert "ObjectHashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_funnel_three_windows_one_shuffle(spark, sf_dir, queries):
+    """Three chained running-min windows + the per-user aggregate all share
+    the (user_id) partitioning: exactly one Exchange and one Sort — funnel
+    depth must not add shuffles."""
+    p = plan_of(_build(queries, spark, sf_dir, "funnel_conversion"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Sort ") == 1
