@@ -783,7 +783,67 @@ FROM embeddings
 """
 
 
+# width_bucket-style fixed-width histogram: integer bucket ids from cents
+# arithmetic (no doubles in the bucketing), under/overflow clamped to the
+# edge buckets — the data-profiling primitive behind every DQ dashboard.
+HIST_LO = 0.0
+HIST_HI = 500_000.0
+HIST_BUCKETS = 20
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice: single aggregate pass, bucket
+    id computed as integer cents // width-cents then clamped — a narrow map
+    + one groupBy, the profile scan you run before choosing partition
+    bounds at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    width_c = int((HIST_HI - HIST_LO) * 100) // HIST_BUCKETS
+    raw = F.floor((cents(F.col("o_totalprice")) - int(HIST_LO * 100)) / width_c)
+    bucket = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(HIST_BUCKETS - 1)
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .withColumn(
+            "bucket_lo",
+            (F.col("bucket") * width_c).cast("double") / 100.0 + HIST_LO,
+        )
+        .select("bucket", "bucket_lo", "n", "total_price")
+    )
+
+
+_HIST_WIDTH_C = int((HIST_HI - HIST_LO) * 100) // HIST_BUCKETS
+
+HISTOGRAM_PRICES_SQL = f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(
+           (CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+              - {int(HIST_LO * 100)}) // {_HIST_WIDTH_C}, 0),
+           {HIST_BUCKETS - 1}) AS bucket,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(bucket * {_HIST_WIDTH_C} AS DOUBLE) / 100.0 + {HIST_LO}
+           AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS total_price
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "histogram_prices": QuerySpec(
+        histogram_prices,
+        HISTOGRAM_PRICES_SQL,
+        "fixed-width histogram, integer-cents bucketing",
+    ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "flagship Q1-style report"),
     "pivot_wide": QuerySpec(pivot_wide, PIVOT_WIDE_SQL, "declared-values pivot to wide counts"),
     "unpivot_long": QuerySpec(unpivot_long, UNPIVOT_LONG_SQL, "wide→long melt via Expand"),

@@ -85,6 +85,7 @@ HEADLINE = [
     "pack_sequences",
     "lm_score",
     "funnel_conversion",
+    "histogram_prices",
 ]
 
 

@@ -228,3 +228,14 @@ def test_funnel_three_windows_one_shuffle(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "funnel_conversion"), "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Sort ") == 1
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir, queries):
+    """Global invariant: no batch query may plan a CartesianProduct — every
+    cross join in the engine is a broadcast of a scalar/tiny relation
+    (BroadcastNestedLoopJoin), never a shuffled n×m product."""
+    for key, spec in queries.items():
+        if key.startswith("streaming_") or key == "banking_txn_pipeline":
+            continue
+        p = plan_of(spec.build(spark, sf_dir))
+        assert "CartesianProduct" not in p, f"{key}: CartesianProduct in plan"
