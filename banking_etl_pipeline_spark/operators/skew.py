@@ -129,7 +129,129 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (deterministic, md5-derived rows) + accuracy report
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_K = 25  # exact top-k tokens probed against the sketch
+
+
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the corpus token stream, probed with the exact
+    top-25 tokens: reports exact vs estimated count per token (estimate =
+    min over the sketch's 4 rows; CMS guarantees estimate >= exact).
+
+    Built entirely as DataFrame composition: explode tokens → explode 4
+    seeded md5 hash rows → groupBy (row, cell) count is THE sketch (4096
+    cells regardless of input size — the fixed-size summary you ship to the
+    driver or merge across 100 TB shards by cell-wise addition). The probe
+    joins each heavy hitter's 4 cells against the sketch and takes min().
+    Hashing is md5-derived, so the DuckDB oracle rebuilds the identical
+    sketch bit-for-bit."""
+    from ..functions.hashing import md5_long
+    from .sampling import HEAVY_HITTERS_K  # noqa: F401  (same corpus surface)
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cells = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_long(
+                                F.concat(F.lit(f"cms{j}:"), F.col("token"))
+                            )
+                            % CMS_WIDTH
+                        ).alias("cell"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    sketch = cells.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(CMS_PROBE_K)
+    )
+    probe = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_long(
+                                F.concat(F.lit(f"cms{j}:"), F.col("token"))
+                            )
+                            % CMS_WIDTH
+                        ).alias("cell"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select(
+        "token", "exact_n",
+        F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def _sql_cms_cells(token_expr: str) -> str:
+    from ..functions.hashing import sql_md5_long
+
+    parts = []
+    for j in range(CMS_DEPTH):
+        hashed = sql_md5_long(f"'cms{j}:' || {token_expr}")
+        parts.append(f"{{'row': {j}, 'cell': {hashed} % {CMS_WIDTH}}}")
+    return "unnest([" + ", ".join(parts) + "])"
+
+
+CMS_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cells AS (
+  SELECT token, {_sql_cms_cells('token')} AS rc FROM toks
+),
+sketch AS (
+  SELECT rc.row AS row, rc.cell AS cell, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cells GROUP BY rc.row, rc.cell
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY token
+  ORDER BY exact_n DESC, token ASC LIMIT {CMS_PROBE_K}
+),
+probe AS (
+  SELECT token, exact_n, {_sql_cms_cells('token')} AS rc FROM exact
+)
+SELECT p.token, p.exact_n, MIN(s.c) AS cms_estimate
+FROM probe p JOIN sketch s ON p.rc.row = s.row AND p.rc.cell = s.cell
+GROUP BY p.token, p.exact_n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cms_topk": QuerySpec(
+        cms_topk, CMS_TOPK_SQL,
+        "Count-Min Sketch build + probe, md5-derived, oracle-identical",
+    ),
     "skew_salted_join": QuerySpec(
         skew_salted_join, SKEW_SALTED_JOIN_SQL,
         "deterministic salted join over a hot key, semantics-preserving",

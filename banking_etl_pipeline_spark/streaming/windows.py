@@ -167,7 +167,63 @@ ORDER BY event_type
 """
 
 
+def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 by count within each sliding 2h window.
+
+    Ranking over a streaming aggregate is not expressible inside the stream
+    (append mode can't rank complete windows) — the idiomatic split is
+    stream → windowed counts (bounded state) → rank in the serving layer
+    over the materialized result, which is exactly what this does: the
+    memory-sink table is the serving table, then one batch row_number per
+    window. At scale the sink is a Delta table and the rank is the reader's
+    query — same two plans."""
+    from pyspark.sql import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "stream_trending"
+    _run_to_completion(agg, name)
+    t = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+STREAMING_TRENDING_SQL = """
+WITH w AS (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+             AS window_start
+  FROM events
+),
+c AS (
+  SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY window_start, event_type
+)
+SELECT window_start, event_type, n,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS rank
+  FROM c
+)
+WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_trending": QuerySpec(
+        streaming_trending, STREAMING_TRENDING_SQL,
+        "top-3 trending event types per sliding window (stream + serve-rank)",
+    ),
     "streaming_hourly_counts": QuerySpec(
         streaming_hourly_counts, STREAMING_HOURLY_COUNTS_SQL,
         "Structured Streaming tumbling-window aggregate",

@@ -86,6 +86,7 @@ HEADLINE = [
     "lm_score",
     "funnel_conversion",
     "histogram_prices",
+    "cms_topk",
 ]
 
 

@@ -118,3 +118,15 @@ def test_stratified_sample_rates(spark, sf_dir):
         for lang, rs in by_lang.items()
     }
     assert rates["en"] < max(rates.values())
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    # Count-Min guarantee: estimate >= exact for every probed token, and
+    # with depth 4 / width 1024 on this corpus the overestimate stays small
+    from banking_etl_pipeline_spark.operators.skew import cms_topk
+
+    rows = cms_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["cms_estimate"] <= r["exact_n"] * 2, r
