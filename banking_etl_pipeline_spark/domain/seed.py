@@ -176,12 +176,52 @@ def seed_transactions(spark: SparkSession, accounts: DataFrame,
     )
 
 
+CARD_TYPES = ["visa", "VISA", "Visa", "mastercard", "Mastercard", "amex"]
+CARD_STATUSES = ["active", "blocked", "expired"]
+
+
+def seed_credit_cards(spark: SparkSession, n: int = 800,
+                      num_customers: int = 1000,
+                      num_accounts: int = 1500) -> DataFrame:
+    """Credit cards — the reference documents this entity
+    (`docs/credit_card_data.txt:1-14`) but ships no generator or transform;
+    volumes and the mixed-case raw-zone convention follow the other seeds.
+    available_credit is deliberately left inconsistent on ~1/3 of rows
+    (null) so the transform's recompute path is exercised."""
+    e = "card"
+    limit = _money(e, "limit", 1_000.0, 50_000.0)
+    balance = _money(e, "bal", 0.0, 20_000.0)
+    issue = _days_ago(e, "issue", 6 * 365)
+    return spark.range(n).select(
+        F.format_string("CARD%08d", F.col("id")).alias("card_id"),
+        F.format_string("CUST%06d",
+                        _u(e, "cust_fk", num_customers)).alias("customer_id"),
+        F.format_string("ACC%08d",
+                        _u(e, "acct_fk", num_accounts)).alias("account_id"),
+        _pick(e, "type", CARD_TYPES).alias("card_type"),
+        _pick(e, "status", CARD_STATUSES).alias("card_status"),
+        issue.alias("issue_date"),
+        F.date_add(issue, (_u(e, "life_y", 3) * 365 + 1095).cast("int"))
+        .alias("expiry_date"),
+        limit.alias("credit_limit"),
+        balance.alias("current_balance"),
+        F.when(_u(e, "avail_null", 3) > 0,
+               (limit - balance).cast(MONEY)).alias("available_credit"),
+        _days_ago(e, "pay", 60).alias("last_payment_date"),
+        _money(e, "pay_amt", 10.0, 3_000.0).alias("last_payment_amount"),
+        (F.lit(9.99) + _u(e, "rate", 2_000) / F.lit(100.0)).alias("interest_rate"),
+        (_u(e, "points", 100_000)).cast("int").alias("reward_points"),
+    )
+
+
 def seed_all(spark: SparkSession, num_customers: int = 1000,
              num_accounts: int = 1500,
-             num_transactions: int = 10_000) -> dict[str, DataFrame]:
-    """≅ data_seed.py:236-238 volumes."""
+             num_transactions: int = 10_000,
+             num_cards: int = 800) -> dict[str, DataFrame]:
+    """≅ data_seed.py:236-238 volumes (+ documented-only credit cards)."""
     customers = seed_customers(spark, num_customers)
     accounts = seed_accounts(spark, num_accounts, num_customers)
     transactions = seed_transactions(spark, accounts, num_transactions)
+    cards = seed_credit_cards(spark, num_cards, num_customers, num_accounts)
     return {"customers": customers, "accounts": accounts,
-            "transactions": transactions}
+            "transactions": transactions, "credit_cards": cards}

@@ -415,3 +415,74 @@ def test_pipeline_gate_fails_closed(spark):
     )
     with pytest.raises(QualityGateError):
         run_all(spark, [spec])
+
+
+# ---------------------------------------------------------------------------
+# credit cards (documented-only entity, reconstructed)
+# ---------------------------------------------------------------------------
+
+
+def test_transform_credit_cards(spark):
+    from banking_etl_pipeline_spark.domain.credit_cards import (
+        transform_credit_cards,
+    )
+    from banking_etl_pipeline_spark.domain.schemas import CREDIT_CARD_SCHEMA
+
+    as_of = dt.date(2025, 6, 29)
+    rows = [
+        # clean active card, 50% utilization, stale available_credit fixed
+        ("K1", "C1", "A1", "Visa", "ACTIVE", dt.date(2024, 6, 29),
+         dt.date(2027, 6, 29), D("10000.00"), D("5000.00"), D("9999.00"),
+         dt.date(2025, 6, 1), D("100.00"), 19.99, 80_000),
+        # stored 'active' but past expiry → effective expired; 90% util
+        ("K2", "C2", "A2", "mastercard", "active", dt.date(2020, 1, 1),
+         dt.date(2025, 1, 1), D("1000.00"), D("900.00"), None,
+         dt.date(2025, 5, 30), D("50.00"), 24.99, 30_000),
+        # null FK → dropped
+        ("K3", None, "A3", "amex", "blocked", dt.date(2023, 1, 1),
+         dt.date(2026, 1, 1), D("5000.00"), D("0.00"), D("5000.00"),
+         dt.date(2025, 6, 1), D("10.00"), 15.0, 10),
+        # duplicate PK → deduped
+        ("K1", "C1", "A1", "visa", "active", dt.date(2024, 6, 29),
+         dt.date(2027, 6, 29), D("10000.00"), D("5000.00"), D("5000.00"),
+         dt.date(2025, 6, 1), D("100.00"), 19.99, 80_000),
+    ]
+    df = spark.createDataFrame(rows, _nullable(CREDIT_CARD_SCHEMA))
+    out = {r.card_id: r for r in transform_credit_cards(df, as_of).collect()}
+    assert set(out) == {"K1", "K2"}
+    k1, k2 = out["K1"], out["K2"]
+    assert k1.card_type == "visa" and k1.card_status == "active"
+    assert k1.available_credit == D("5000.00")  # recomputed from identity
+    assert k1.utilization == 0.5 and not k1.is_high_utilization
+    assert k1.status_effective == "active" and not k1.is_expired
+    assert k1.card_age_days == 365 and k1.reward_tier == "platinum"
+    assert k2.is_expired and k2.status_effective == "expired"
+    assert k2.available_credit == D("100.00")  # null filled from identity
+    assert k2.is_high_utilization and k2.reward_tier == "gold"
+
+
+def test_seed_credit_cards_fk_and_identity(spark):
+    from banking_etl_pipeline_spark.domain.credit_cards import (
+        transform_credit_cards,
+    )
+    from banking_etl_pipeline_spark.domain.seed import (
+        seed_accounts,
+        seed_credit_cards,
+        seed_customers,
+    )
+
+    cards = seed_credit_cards(spark, 200, num_customers=50, num_accounts=80)
+    custs = seed_customers(spark, 50).select("customer_id")
+    accts = seed_accounts(spark, 80, 50).select("account_id")
+    assert cards.count() == 200
+    # FK closure against the generated dimension domains
+    assert cards.join(custs, "customer_id", "left_anti").count() == 0
+    assert cards.join(accts, "account_id", "left_anti").count() == 0
+    out = transform_credit_cards(cards)
+    # the identity holds everywhere after cleaning, incl. the planted nulls
+    bad = out.filter(
+        F.col("available_credit")
+        != (F.col("credit_limit") - F.col("current_balance"))
+    ).count()
+    assert bad == 0
+    assert out.filter(F.col("utilization").isNull()).count() == 0
