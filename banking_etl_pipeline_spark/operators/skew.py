@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashing import sql_md5_long
 from ..functions.numeric import cents
 from ..spec import QuerySpec
 
@@ -247,7 +248,117 @@ GROUP BY p.token, p.exact_n
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog by hand (md5 registers, bit-identical cross-engine)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers (2^8)
+HLL_HASH_BITS = 52  # md5_long is 60-bit; use 8 for the bucket, 52 for rho
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # same literal in both engines
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HyperLogLog distinct-token estimate next to the exact count.
+
+    Unlike `approx_distinct` (Spark's built-in HLL++, oracle-checked only
+    via its error bound), this one is built from column algebra on
+    md5-derived registers, so the DuckDB oracle reproduces the estimate
+    BIT-FOR-BIT: bucket = low 8 hash bits; rho = leading-zero count of the
+    remaining 52 bits + 1 via integer bit-length (binary-string length —
+    exact, no float log); and the 2^-rho register sum is a sum of exact
+    binary fractions, so it is order-independent in IEEE double and safe
+    across any partitioning. One groupBy(bucket) over the token stream →
+    256 rows → single-row estimate: the mergeable cardinality summary you'd
+    AGG per shard at 100 TB (register-wise MAX merges shards)."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_long
+
+    h = md5_long(F.concat(F.lit("hll:"), F.col("token")))
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select(
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("rest"),
+    )
+    # bit_length via binary-string length: exact in both engines
+    bitlen = F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)
+    rho = (F.lit(HLL_HASH_BITS) - bitlen + 1).cast("int")
+    regs = toks.groupBy("bucket").agg(F.max(rho).alias("m_rho"))
+    z = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+    )
+    exact = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).agg(F.count_distinct("token").alias("n_exact"))
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("z") + (HLL_M - F.col("nonzero_buckets"))
+    )
+    # small-range (linear counting) correction — the standard HLL regime
+    # switch: with zero registers present and a small raw estimate, count
+    # occupancy instead (this corpus's tiny vocab exercises exactly this)
+    zero_buckets = F.lit(HLL_M) - F.col("nonzero_buckets")
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (zero_buckets > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero_buckets),
+    ).otherwise(est_raw)
+    from ..functions.numeric import ftrunc
+
+    return (
+        z.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).alias("m"),
+            "nonzero_buckets",
+            "n_exact",
+            ftrunc(est, 4).alias("hll_estimate"),
+        )
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT {sql_md5_long("'hll:' || token")} AS hv FROM toks
+),
+b AS (
+  SELECT hv % {HLL_M} AS bucket, hv // {HLL_M} AS rest FROM h
+),
+regs AS (
+  SELECT bucket,
+         MAX(CAST({HLL_HASH_BITS} -
+             (CASE WHEN rest > 0 THEN length(bin(rest)) ELSE 0 END)
+             + 1 AS INTEGER)) AS m_rho
+  FROM b GROUP BY bucket
+),
+z AS (
+  SELECT SUM(POWER(2.0, -m_rho)) AS z,
+         CAST(COUNT(*) AS BIGINT) AS nonzero_buckets
+  FROM regs
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact FROM toks
+),
+est AS (
+  SELECT nonzero_buckets, n_exact,
+         {HLL_ALPHA * HLL_M * HLL_M!r} / (z + ({HLL_M} - nonzero_buckets))
+             AS est_raw
+  FROM z CROSS JOIN exact
+)
+SELECT {HLL_M} AS m, nonzero_buckets, n_exact,
+       FLOOR(CASE WHEN est_raw <= {2.5 * HLL_M} AND nonzero_buckets < {HLL_M}
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nonzero_buckets))
+             ELSE est_raw END * 10000.0) / 10000.0 AS hll_estimate
+FROM est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hll_distinct": QuerySpec(
+        hll_distinct, HLL_DISTINCT_SQL,
+        "hand-built HyperLogLog, bit-identical estimate vs exact count",
+    ),
     "cms_topk": QuerySpec(
         cms_topk, CMS_TOPK_SQL,
         "Count-Min Sketch build + probe, md5-derived, oracle-identical",

@@ -87,6 +87,7 @@ HEADLINE = [
     "funnel_conversion",
     "histogram_prices",
     "cms_topk",
+    "hll_distinct",
 ]
 
 

@@ -130,3 +130,12 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r["cms_estimate"] >= r["exact_n"], r
         assert r["cms_estimate"] <= r["exact_n"] * 2, r
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    # linear-counting regime on this vocab: estimate within ~2/sqrt(m)+eps
+    from banking_etl_pipeline_spark.operators.skew import hll_distinct
+
+    r = hll_distinct(spark, sf_dir).collect()[0]
+    assert r["nonzero_buckets"] <= r["m"]
+    assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.15
