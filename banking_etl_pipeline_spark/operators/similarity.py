@@ -473,6 +473,127 @@ FROM best GROUP BY label, assigned_label
 """
 
 
+def _assignments(e: DataFrame) -> DataFrame:
+    """(vec_id, v, assigned_label): nearest-centroid assignment — the shared
+    first half of a Lloyd iteration (see kmeans_assign for the plan)."""
+    cent = _centroid_frame(e).select(
+        F.col("label").alias("cent_label"),
+        "c",
+        dot(F.col("c"), F.col("c")).alias("cdot"),
+    )
+    scored = (
+        e.withColumn("vdot", dot(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "cent_label",
+            (
+                F.col("vdot")
+                - 2.0 * dot(F.col("v"), F.col("c"))
+                + F.col("cdot")
+            ).alias("dist"),
+        )
+    )
+    m = scored.groupBy(F.col("vec_id").alias("m_vec_id")).agg(
+        F.min("dist").alias("min_dist")
+    )
+    return (
+        scored.join(
+            m,
+            (F.col("vec_id") == F.col("m_vec_id"))
+            & (F.col("dist") == F.col("min_dist")),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cent_label").alias("assigned_label"),
+             F.first("v").alias("v"))
+    )
+
+
+def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The update half of a Lloyd iteration: recompute each cluster's
+    centroid from its newly-assigned members and report the centroid SHIFT
+    (L2 distance old→new, the convergence measure a k-means loop tests
+    against epsilon). Same aggregate shape as the training pass — 64 avgs in
+    one hash aggregate over the assignment relation — plus one broadcast
+    join back to the old centroids; shift² = |old|² − 2·old·new + |new|²
+    on fixed-point arrays, so it is bit-deterministic cross-engine."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    old = _centroid_frame(e).select(
+        F.col("label").alias("cl"), F.col("c").alias("c_old")
+    )
+    assigned = _assignments(e).select(
+        F.col("assigned_label").alias("label"), "v"
+    )
+    new = _centroid_frame(assigned).select(
+        "label", F.col("n_vecs").alias("n_members"), F.col("c").alias("c_new")
+    )
+    shift_sq = (
+        dot(F.col("c_old"), F.col("c_old"))
+        - 2.0 * dot(F.col("c_old"), F.col("c_new"))
+        + dot(F.col("c_new"), F.col("c_new"))
+    )
+    return new.join(F.broadcast(old), new["label"] == old["cl"]).select(
+        "label",
+        "n_members",
+        ftrunc(F.sqrt(F.greatest(shift_sq, F.lit(0.0))), 6).alias(
+            "centroid_shift"
+        ),
+        ftrunc(F.sqrt(dot(F.col("c_new"), F.col("c_new"))), 6).alias(
+            "new_norm"
+        ),
+    )
+
+
+def _sql_cent_comps_over(rel_comps: str) -> str:
+    return ", ".join(
+        f"FLOOR(avg({rel_comps}[{i + 1}]) * {_CENT_SCALE} + 0.5) / {_CENT_SCALE}"
+        for i in range(EMBED_DIM)
+    )
+
+
+KMEANS_UPDATE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+g AS (
+  SELECT label AS cent_label, [{_SQL_CENT_COMPS}] AS c
+  FROM e GROUP BY label
+),
+cc AS (SELECT cent_label, c, list_dot_product(c, c) AS cdot FROM g),
+scored AS (
+  SELECT e.vec_id, e.v, cc.cent_label,
+         list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cc.c)
+           + cc.cdot AS dist
+  FROM e, cc
+),
+m AS (SELECT vec_id, MIN(dist) AS min_dist FROM scored GROUP BY vec_id),
+assigned AS (
+  SELECT s.vec_id, MIN(s.cent_label) AS label
+  FROM scored s JOIN m ON s.vec_id = m.vec_id AND s.dist = m.min_dist
+  GROUP BY s.vec_id
+),
+members AS (
+  SELECT a.label, e.v FROM assigned a JOIN e ON a.vec_id = e.vec_id
+),
+new_c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         [{_sql_cent_comps_over('v')}] AS c_new
+  FROM members GROUP BY label
+)
+SELECT n.label, n.n_members,
+       FLOOR(sqrt(GREATEST(
+         list_dot_product(o.c, o.c) - 2.0 * list_dot_product(o.c, n.c_new)
+           + list_dot_product(n.c_new, n.c_new), 0.0)) * 1000000.0)
+         / 1000000.0 AS centroid_shift,
+       FLOOR(sqrt(list_dot_product(n.c_new, n.c_new)) * 1000000.0)
+         / 1000000.0 AS new_norm
+FROM new_c n JOIN g o ON n.label = o.cent_label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(ann_brute_force, ANN_BRUTE_FORCE_SQL, "exact cosine top-k per query"),
     "ann_lsh": QuerySpec(ann_lsh, ANN_LSH_SQL, "sign-LSH bucketed ANN (oracle replays md5 hyperplanes)"),
@@ -486,5 +607,10 @@ QUERIES: dict[str, QuerySpec] = {
         kmeans_assign,
         KMEANS_ASSIGN_SQL,
         "one Lloyd step: broadcast centroids, decorrelated argmin",
+    ),
+    "kmeans_update": QuerySpec(
+        kmeans_update,
+        KMEANS_UPDATE_SQL,
+        "Lloyd update half-step: recomputed centroids + shift metric",
     ),
 }

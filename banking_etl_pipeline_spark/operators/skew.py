@@ -155,7 +155,12 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import HEAVY_HITTERS_K  # noqa: F401  (same corpus surface)
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # the token stream feeds both the sketch build and the exact probe —
+    # persist it once (in production you ship only the sketch and the
+    # exact side doesn't exist; here it's the accuracy ground truth)
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).persist()
     cells = toks.select(
         "token",
         F.explode(

@@ -88,6 +88,7 @@ HEADLINE = [
     "histogram_prices",
     "cms_topk",
     "hll_distinct",
+    "kmeans_update",
 ]
 
 

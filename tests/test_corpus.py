@@ -139,3 +139,18 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
     r = hll_distinct(spark, sf_dir).collect()[0]
     assert r["nonzero_buckets"] <= r["m"]
     assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.15
+
+
+def test_kmeans_update_shift_is_bounded(spark, sf_dir):
+    # after one reassignment, every recomputed centroid exists, keeps its
+    # members, and moves by less than the centroid's own magnitude scale
+    from banking_etl_pipeline_spark.operators.similarity import kmeans_update
+
+    rows = kmeans_update(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_members"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert r["n_members"] > 0
+        assert 0 <= r["centroid_shift"] < 1.0
+        assert r["new_norm"] > 0
