@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.hashing import sql_md5_long
-from ..functions.numeric import cents
+from ..functions.numeric import cents, ftrunc
 from ..spec import QuerySpec
 
 
@@ -152,7 +152,6 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hashing is md5-derived, so the DuckDB oracle rebuilds the identical
     sketch bit-for-bit."""
     from ..functions.hashing import md5_long
-    from .sampling import HEAVY_HITTERS_K  # noqa: F401  (same corpus surface)
 
     d = table(spark, sf_dir, "documents")
     # the token stream feeds both the sketch build and the exact probe —
@@ -307,8 +306,6 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est_raw <= 2.5 * HLL_M) & (zero_buckets > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero_buckets),
     ).otherwise(est_raw)
-    from ..functions.numeric import ftrunc
-
     return (
         z.crossJoin(F.broadcast(exact))
         .select(
