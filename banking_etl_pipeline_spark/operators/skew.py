@@ -356,7 +356,127 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch → runtime join-filter story)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 7        # hash functions
+BLOOM_M = 131_072  # bits (2^17): m/n ≈ 9 at sf0.1 → ~1% theoretical FPR
+BLOOM_SHIFT = 10_000_000  # offsets probe keys out of the key domain
+
+
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the customer key set, probe it with (a) the
+    members themselves and (b) a disjoint shifted key set; report the
+    zero-false-negative check and the measured false-positive rate.
+
+    The filter is the DISTINCT set of k·md5 bit positions — a relation, not
+    a bitmap, so it merges across shards by union and ships cross-system
+    (this is Spark's runtime bloom-join filter made explicit: at 100 TB you
+    build this on the dim side and semi-join the fact scan against it
+    before the real join, turning a shuffle of non-matching fact rows into
+    a scan-side drop). Probe = k-row explode per key, equi-join on
+    position, HAVING count(*) = k."""
+    from ..functions.hashing import md5_long
+
+    keys = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+
+    def positions(key_col):
+        return F.explode(
+            F.array(
+                *[
+                    (
+                        md5_long(
+                            F.concat(F.lit(f"bloom{j}:"), key_col.cast("string"))
+                        )
+                        % BLOOM_M
+                    ).alias(f"p{j}")
+                    for j in range(BLOOM_K)
+                ]
+            )
+        )
+
+    bits = keys.select(positions(F.col("key")).alias("pos")).distinct()
+    bits = bits.persist()
+
+    def probe(probe_keys: DataFrame) -> DataFrame:
+        cells = probe_keys.select("key", positions(F.col("key")).alias("pos"))
+        hits = (
+            cells.join(bits, "pos")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .filter(F.col("n_hit") == BLOOM_K)
+        )
+        return hits
+
+    nonmembers = keys.select((F.col("key") + BLOOM_SHIFT).alias("key"))
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    member_pass = probe(keys).agg(F.count(F.lit(1)).alias("members_passed"))
+    nonmember_pass = probe(nonmembers).agg(
+        F.count(F.lit(1)).alias("nonmembers_passed")
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(member_pass))
+        .crossJoin(F.broadcast(nonmember_pass))
+        .select(
+            "n_keys",
+            "members_passed",
+            "nonmembers_passed",
+            ftrunc(
+                F.col("nonmembers_passed").cast("double") / F.col("n_keys"), 6
+            ).alias("fpr"),
+        )
+    )
+
+
+def _sql_bloom_positions(key_expr: str) -> str:
+    parts = ", ".join(
+        sql_md5_long(f"'bloom{j}:' || CAST({key_expr} AS VARCHAR)")
+        + f" % {BLOOM_M}"
+        for j in range(BLOOM_K)
+    )
+    return f"unnest([{parts}])"
+
+
+BLOOM_FILTER_PROBE_SQL = f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS key FROM customer),
+bits AS (
+  SELECT DISTINCT {_sql_bloom_positions('key')} AS pos FROM keys
+),
+member_cells AS (
+  SELECT key, {_sql_bloom_positions('key')} AS pos FROM keys
+),
+member_pass AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS members_passed FROM (
+    SELECT c.key FROM member_cells c JOIN bits b ON c.pos = b.pos
+    GROUP BY c.key HAVING COUNT(*) = {BLOOM_K}
+  )
+),
+nonkeys AS (SELECT key + {BLOOM_SHIFT} AS key FROM keys),
+nonmember_cells AS (
+  SELECT key, {_sql_bloom_positions('key')} AS pos FROM nonkeys
+),
+nonmember_pass AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nonmembers_passed FROM (
+    SELECT c.key FROM nonmember_cells c JOIN bits b ON c.pos = b.pos
+    GROUP BY c.key HAVING COUNT(*) = {BLOOM_K}
+  )
+),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
+SELECT n_keys, members_passed, nonmembers_passed,
+       FLOOR(CAST(nonmembers_passed AS DOUBLE) / n_keys * 1000000.0)
+         / 1000000.0 AS fpr
+FROM nk CROSS JOIN member_pass CROSS JOIN nonmember_pass
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bloom_filter_probe": QuerySpec(
+        bloom_filter_probe, BLOOM_FILTER_PROBE_SQL,
+        "Bloom build+probe: zero false negatives, measured FPR",
+    ),
     "hll_distinct": QuerySpec(
         hll_distinct, HLL_DISTINCT_SQL,
         "hand-built HyperLogLog, bit-identical estimate vs exact count",

@@ -89,6 +89,7 @@ HEADLINE = [
     "cms_topk",
     "hll_distinct",
     "kmeans_update",
+    "bloom_filter_probe",
 ]
 
 

@@ -154,3 +154,12 @@ def test_kmeans_update_shift_is_bounded(spark, sf_dir):
         assert r["n_members"] > 0
         assert 0 <= r["centroid_shift"] < 1.0
         assert r["new_norm"] > 0
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    # Bloom guarantee: every member passes; FPR stays near theory (≤ 2%)
+    from banking_etl_pipeline_spark.operators.skew import bloom_filter_probe
+
+    r = bloom_filter_probe(spark, sf_dir).collect()[0]
+    assert r["members_passed"] == r["n_keys"]
+    assert r["fpr"] <= 0.02
