@@ -494,7 +494,56 @@ FROM per_user
 """
 
 
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (hour, event_type) OHLC of
+    `value` — open/close via min_by/max_by on a unique epoch-µs+event_id
+    key (deterministic under ties), high/low/volume as plain aggregates.
+    ONE hash-aggregate pass, no window, no sort: the downsample that turns
+    raw 100 TB ticks into a bounded rollup table; re-aggregating a coarser
+    grain (hour → day) reuses the same plan over the rollup."""
+    e = table(spark, sf_dir, "events")
+    # unique sortable key: zero-padded "epoch-µs:event_id" string —
+    # lexicographic order == (ts, event_id) order, no int64 overflow, and
+    # arg_min/min_by accept it in both engines
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+        )
+    )
+
+
+OHLC_DOWNSAMPLE_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       arg_min(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS close
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ohlc_downsample": QuerySpec(
+        ohlc_downsample,
+        OHLC_DOWNSAMPLE_SQL,
+        "hypertable OHLC rollup: one hash-aggregate pass, min_by/max_by",
+    ),
     "funnel_conversion": QuerySpec(
         funnel_conversion,
         FUNNEL_CONVERSION_SQL,

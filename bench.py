@@ -90,6 +90,7 @@ HEADLINE = [
     "hll_distinct",
     "kmeans_update",
     "bloom_filter_probe",
+    "ohlc_downsample",
 ]
 
 
