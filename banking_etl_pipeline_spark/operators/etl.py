@@ -50,6 +50,81 @@ WHERE u.c_custkey IS NULL
 """
 
 
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII masking over the customer dimension — the
+    compliance transform a banking pipeline (the reference's domain,
+    `docs/customer_data.txt`) runs before data leaves the trusted zone:
+
+    - pseudonymization: stable surrogate `substr(md5(name), 1, 12)` so joins
+      still work across masked extracts without exposing the identifier;
+    - suppression: digit runs in the name masked to '#' (regexp, global);
+    - generalization: exact balance → 1000-wide band.
+
+    All three are JVM-side built-ins (md5/regexp_replace/floor) — no UDF,
+    fully codegen'd, and embarrassingly parallel: no shuffle at all, the
+    plan is scan→project, so it scales linearly to any table size.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring(F.md5(F.col("c_name")), 1, 12).alias("pseudonym"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked_name"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+    )
+
+
+PII_MASK_SQL = """
+SELECT c_custkey,
+       substr(md5(c_name), 1, 12) AS pseudonym,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+       CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot compaction: the latest event per user, plus how
+    many changes it compacted away — the `row_number()=1` dedup every
+    change-log consumer runs, done instead as ONE hash-aggregate pass with
+    max_by on a zero-padded (epoch-µs, event_id) sortable key (deterministic
+    under same-µs ties). No window, no per-key sort: at 100 TB the window
+    formulation sorts every partition; this shape shuffles only the partial
+    per-user maxima (map-side combine), the same plan that keeps a
+    1000-executor MERGE snapshot build cheap.
+    """
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        e.select("user_id", "ts", "event_type", "value", key.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", "k").alias("last_type"),
+            F.max_by("value", "k").alias("last_value"),
+        )
+    )
+
+
+LATEST_EVENT_SNAPSHOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       MAX(ts) AS last_ts,
+       arg_max(event_type, printf('%020d:%010d', epoch_us(ts), event_id))
+           AS last_type,
+       arg_max(value, printf('%020d:%010d', epoch_us(ts), event_id))
+           AS last_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def banking_txn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed (deterministic, distributed) → full transaction transform chain."""
     data = seed_all(spark, num_customers=200, num_accounts=300,
@@ -61,6 +136,14 @@ QUERIES: dict[str, QuerySpec] = {
     "merge_upsert": QuerySpec(
         merge_upsert_query, MERGE_UPSERT_SQL,
         "staged-upsert MERGE semantics as a pure anti-join + union",
+    ),
+    "pii_mask": QuerySpec(
+        pii_mask, PII_MASK_SQL,
+        "deterministic pseudonymize/suppress/generalize masking, shuffle-free",
+    ),
+    "latest_event_snapshot": QuerySpec(
+        latest_event_snapshot, LATEST_EVENT_SNAPSHOT_SQL,
+        "keep-latest-per-key CDC compaction as one max_by hash aggregate",
     ),
     "banking_txn_pipeline": QuerySpec(
         banking_txn_pipeline, None,

@@ -1,0 +1,171 @@
+"""Physical-layout and maintenance operators.
+
+The reference's only layout decision is partitioning the processed zone by
+`transaction_year, transaction_month` (`config/config.json:70`,
+`main.py:201-206`) — one-dimensional pruning. At 100 TB a fact table is
+queried along MORE than one key (here: order AND part), and the standard
+warehouse answer is a space-filling-curve sort (Z-order / Hilbert) so file
+min/max statistics prune on BOTH dimensions. `zorder_layout` computes the
+interleaved-bit Z-value and reports the per-bucket bounding box — the
+data-skipping index a writer would persist next to each file.
+
+`incremental_agg` is the other maintenance primitive the reference implies
+but never builds: its "incremental" load is Delta `append` with date
+partitions (`config/config.json:69-70`), which makes downstream aggregates
+recompute from scratch. Sum/count partial aggregates are MERGEABLE, so the
+rollup can be maintained as (yesterday's partials) ⊎ (today's delta
+partials) re-aggregated — never a full-table rescan. The query proves the
+algebra: split-partials re-aggregated hash-match the one-pass oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..spec import QuerySpec
+
+_ZBITS = 16  # bits kept per dimension; 2·16 = 32-bit Z-value
+
+
+def _zvalue(x: Column, y: Column) -> Column:
+    """Interleave the low 16 bits of x (even positions) and y (odd).
+
+    Pure integer bit arithmetic — whole-stage-codegen'd JVM expressions, no
+    UDF. The same formula is emitted as SQL text for the oracle by
+    `_zvalue_sql`, so both engines compute bit-identical Z-values.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality report over lineitem (l_orderkey × l_partkey).
+
+    Bucket = top 6 Z-value bits (64 buckets ≅ 64 files). Each bucket's
+    bounding box [min,max]×[min,max] is what a file-skipping reader would
+    consult; Z-ordering makes the boxes narrow in BOTH keys, so a predicate
+    on either dimension prunes most buckets. At 100 TB: compute z once at
+    write time, `repartitionByRange(z)` → sorted parquet files; the report
+    below is exactly the footer min/max stats that sort produces. One
+    hash-aggregate pass, shuffle carries 64 grouping keys only.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # 64-bit keys: bit 31 of the Z-value would overflow a 32-bit int
+    x = F.col("l_orderkey").cast("long").bitwiseAND(F.lit((1 << _ZBITS) - 1))
+    y = F.col("l_partkey").cast("long").bitwiseAND(F.lit((1 << _ZBITS) - 1))
+    z = _zvalue(x, y)
+    return (
+        li.select(
+            F.shiftright(z, 2 * _ZBITS - 6).alias("z_bucket"),
+            x.alias("xk"),
+            y.alias("yk"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xk").alias("min_order"),
+            F.max("xk").alias("max_order"),
+            F.min("yk").alias("min_part"),
+            F.max("yk").alias("max_part"),
+        )
+    )
+
+
+_MASK = (1 << _ZBITS) - 1
+ZORDER_LAYOUT_SQL = f"""
+WITH keyed AS (
+  SELECT (CAST(l_orderkey AS BIGINT) & {_MASK}) AS xk,
+         (CAST(l_partkey AS BIGINT) & {_MASK}) AS yk
+  FROM lineitem
+),
+zed AS (
+  SELECT xk, yk, ({_zvalue_sql("xk", "yk")}) AS z FROM keyed
+)
+SELECT (z >> {2 * _ZBITS - 6}) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(xk) AS min_order, MAX(xk) AS max_order,
+       MIN(yk) AS min_part,  MAX(yk) AS max_part
+FROM zed
+GROUP BY z_bucket
+"""
+
+
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-partial-aggregate maintenance of a monthly revenue rollup.
+
+    The materialized view is `month → (sum_cents, n)`. Yesterday's state is
+    the partial aggregate over l_shipdate < 1997-01-01; today's delta batch
+    is the rest. Maintenance = unionByName + re-aggregate — the merge step
+    of any distributive aggregate, identical to what Spark's own partial/
+    final hash aggregation does across partitions. The DuckDB oracle
+    computes the rollup in one pass; hash-equality proves the incremental
+    path is exact (integer cents, so no float merge-order noise). At 100 TB
+    the delta side is one day's partition — the rescan the reference's
+    append-only design forces simply disappears.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_shipdate"),
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("sum_cents").alias("sum_cents"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        F.col("month").cast("date").alias("month"),
+        (F.col("sum_cents").cast("double") / 100.0).alias("revenue"),
+        "n",
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "zorder_layout": QuerySpec(
+        zorder_layout,
+        ZORDER_LAYOUT_SQL,
+        "Z-order curve bucketing with per-bucket min/max skipping stats",
+    ),
+    "incremental_agg": QuerySpec(
+        incremental_agg,
+        INCREMENTAL_AGG_SQL,
+        "rollup maintained by merging partial aggregates vs one-pass oracle",
+    ),
+}

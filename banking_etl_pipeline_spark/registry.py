@@ -7,12 +7,21 @@ locally at sf0.001.
 
 from __future__ import annotations
 
-from .operators import analytics, etl, quality, relational, sampling, skew, windows
+from .operators import (
+    analytics,
+    etl,
+    layout,
+    quality,
+    relational,
+    sampling,
+    skew,
+    windows,
+)
 from .sources import scan_queries
 from .spec import QuerySpec
 
 _MODULES = [relational, windows, quality, scan_queries, etl, analytics, skew,
-            sampling]
+            sampling, layout]
 
 try:  # extension operators land incrementally; keep the registry importable
     from .operators import dedup as _dedup

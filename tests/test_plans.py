@@ -239,3 +239,42 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, queries):
             continue
         p = plan_of(spec.build(spark, sf_dir))
         assert "CartesianProduct" not in p, f"{key}: CartesianProduct in plan"
+
+
+def test_pii_mask_shuffle_free(spark, sf_dir, queries):
+    """Masking is scan→project only: no Exchange of any kind, and the md5/
+    regexp expressions stay inside whole-stage codegen (no Python eval)."""
+    p = plan_of(_build(queries, spark, sf_dir, "pii_mask"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_latest_snapshot_is_hash_agg_not_window(spark, sf_dir, queries):
+    """Keep-latest must compile to partial+final aggregation (map-side
+    combine before the shuffle), NOT a window: no Window node, exactly one
+    Exchange on the grouping key, and partial_* functions before it. (max_by
+    over a string key picks SortAggregate — the Sort there is partition-
+    local over pre-combined rows, not a full-data window sort.)"""
+    p = plan_of(_build(queries, spark, sf_dir, "latest_event_snapshot"),
+                "simple")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_max_by" in p
+
+
+def test_zorder_all_jvm_bitops(spark, sf_dir, queries):
+    """The 32-term bit interleave must stay a codegen'd JVM expression
+    (no Python eval) and aggregate over the 64 buckets with partial
+    aggregation — one Exchange carrying only bucket-level rows."""
+    p = plan_of(_build(queries, spark, sf_dir, "zorder_layout"), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_agg_partials_merge(spark, sf_dir, queries):
+    """The maintenance plan re-aggregates two partial aggregates: both
+    branches must themselves hash-aggregate before the union (map-side
+    partials), and the month filter must be pushed into each scan."""
+    p = plan_of(_build(queries, spark, sf_dir, "incremental_agg"))
+    assert p.count("HashAggregate") >= 4  # partial+final per branch ≥ 4
+    assert "PushedFilters: [" in p
