@@ -311,7 +311,98 @@ GROUP BY s.total_rows, s.q1_c, s.q3_c
 """
 
 
+_PROFILE_COLS: list[tuple[str, str]] = [
+    # (column, kind): num → min/max as double; str → min/max lexicographic;
+    # ts → min/max as exact epoch-µs double (|µs| < 2^53, no precision loss)
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of `orders` — the statistics
+    collection that feeds a cost-based optimizer and every DQ baseline:
+    per column null count, exact distinct count, numeric min/max, string
+    min/max. The reference profiles nothing (its DQ checks re-scan per
+    check, `data_quality.py:37-43`); here ALL columns profile in a single
+    scan: one aggregate produces every metric, then a `stack` unpivots the
+    1-row result to per-column rows (Expand over ONE row — free). Multiple
+    exact count-distincts make Catalyst plan an Expand of the scan (6×
+    rows before partial aggregation) — the price of exactness; production
+    at 100 TB swaps in approx_count_distinct (HLL, one pass, no Expand)
+    via the same shape. No joins, one shuffle of a single row.
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(col).alias(f"nd_{c}"))
+        if kind == "num":
+            num = col.cast("double")
+        elif kind == "ts":
+            num = F.unix_micros(col).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.min(num).alias(f"mn_{c}"))
+        aggs.append(F.max(num).alias(f"mx_{c}"))
+        s = col if kind == "str" else F.lit(None).cast("string")
+        aggs.append(F.min(s).alias(f"ms_{c}"))
+        aggs.append(F.max(s).alias(f"xs_{c}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, ms_{c}, xs_{c}"
+        for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+        "n_rows",
+    )
+
+
+def _profile_sql_one(c: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"MIN(CAST({c} AS DOUBLE))", f"MAX(CAST({c} AS DOUBLE))"
+    elif kind == "ts":
+        mn = f"MIN(CAST(epoch_us({c}) AS DOUBLE))"
+        mx = f"MAX(CAST(epoch_us({c}) AS DOUBLE))"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+    ms, xs = (
+        (f"MIN({c})", f"MAX({c})") if kind == "str"
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    )
+    return f"""
+SELECT '{c}' AS "column",
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {xs} AS max_str,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders"""
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_sql_one(c, kind) for c, kind in _PROFILE_COLS
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_profile": QuerySpec(
+        table_profile,
+        TABLE_PROFILE_SQL,
+        "one-pass ANALYZE: nulls/distincts/min/max for every column",
+    ),
     "dq_outlier_iqr": QuerySpec(
         dq_outlier_iqr,
         DQ_OUTLIER_IQR_SQL,

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
+from ..functions.numeric import cents
 from ..spec import QuerySpec
 
 SAMPLE_PCT = 5          # hash-sample keeps buckets 0..4 of 100
@@ -268,7 +269,72 @@ FROM cum WHERE n_tokens > 0
 PACK_SEQUENCES_SQL = _pack_sql()
 
 
+def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling of orders — the
+    survey-sampling primitive behind importance-weighted corpus mixing:
+    each order is kept independently with p_i = totalprice_cents / 10^7
+    (bigger orders sampled more), and a Horvitz–Thompson weight 1/p_i
+    makes the sample unbiased for population totals.
+
+    Everything is INTEGER arithmetic so both engines agree exactly:
+    uniform draw u = md5(orderkey) mod 10^6; keep iff u·10 < cents;
+    HT weight in micro-units = 10^13 div cents (exact int64 division,
+    summed as int64). Per priority class: population count, sample count,
+    and the HT population estimate — the report that shows the estimator
+    works. Shuffle-free sampling (scan→filter), one tiny aggregate;
+    deterministic under any repartitioning, unlike `df.sample`.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    u = md5_long(F.col("o_orderkey").cast("string")) % F.lit(1_000_000)
+    kept = o.select(
+        "o_orderpriority",
+        c.alias("c"),
+        (u * 10 < c).cast("long").alias("keep"),
+        # p_i caps at 1 for cents ≥ 10^7 — HT weight caps at 1 (10^6 micro)
+        F.expr(
+            f"CASE WHEN {_CENTS_EXPR_SPARK} >= 10000000 THEN 1000000 "
+            f"ELSE {10**13} div {_CENTS_EXPR_SPARK} END"
+        ).alias("w_micro"),
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("keep").alias("n_sampled"),
+        F.sum(F.when(F.col("keep") == 1, F.col("w_micro")).otherwise(0))
+        .alias("ht_estimate_micro"),
+    )
+
+
+_CENTS_EXPR_SPARK = (
+    "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+)
+
+PPS_SAMPLE_SQL = f"""
+WITH draw AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+         (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) AS u
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_pop,
+       CAST(SUM(CASE WHEN u * 10 < c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+       CAST(SUM(CASE WHEN u * 10 < c THEN
+                   CASE WHEN c >= 10000000 THEN 1000000 ELSE {10**13} // c END
+                 ELSE 0 END)
+            AS BIGINT) AS ht_estimate_micro
+FROM draw
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pps_sample": QuerySpec(
+        pps_sample, PPS_SAMPLE_SQL,
+        "weighted Poisson sample + integer Horvitz-Thompson estimate",
+    ),
     "pack_sequences": QuerySpec(
         pack_sequences, PACK_SEQUENCES_SQL,
         "concat-then-split fixed-token sequence packing",

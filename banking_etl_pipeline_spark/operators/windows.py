@@ -538,7 +538,147 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable `time_bucket_gapfill` + locf: per-user hourly value series
+    with MISSING hours materialized and the last observed hourly average
+    carried forward. Three narrow steps:
+
+    1. downsample events → (user, hour) integer-cents average — one hash
+       aggregate (the only full-data shuffle);
+    2. per-user dense hour spine via `sequence(min_hr, max_hr, 1h)` +
+       explode — generated from the tiny per-user min/max aggregate, never
+       from raw events;
+    3. left join spine←hourly (both already hashed by user) + one
+       `last(value, ignorenulls)` window for the carry-forward.
+
+    The average is carried as exact integer cents divided once at the end,
+    so Spark and DuckDB agree bit-for-bit. At 100 TB the spine is
+    |users|·|hours| ≪ |events| and the locf window sorts only the
+    downsampled rollup — gap filling costs less than the downsample itself.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            cents(F.col("value")).alias("vc"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            F.sum("vc").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    avg_c = (F.col("sum_cents").cast("double")
+             / (F.lit(100.0) * F.col("n_events")))
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last(avg_c, ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(MIN(hr), MAX(hr),
+                                         INTERVAL 1 HOUR)) AS hr
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.hr,
+       COALESCE(h.n_events, 0) AS n_events,
+       last_value(CAST(h.sum_cents AS DOUBLE) / (100.0 * h.n_events)
+                  IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_locf
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over events — the product-analytics
+    staple: users grouped by first-activity week, counted in each later
+    week they return. Plan: per-user first week (one aggregate), distinct
+    (user, week) activity (second aggregate over the same shuffle key),
+    equi-join on user_id, then a small (cohort, offset) count-distinct.
+    Week offset is exact integer date arithmetic (datediff/7 — both
+    engines truncate identically on whole weeks). At 100 TB the user-level
+    relations are |users| rows; only the two initial aggregates touch raw
+    events, and AQE broadcasts the first-week side of the join.
+    """
+    e = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    active = e.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "gap_fill": QuerySpec(
+        gap_fill,
+        GAP_FILL_SQL,
+        "hourly gap filling + last-observation-carried-forward",
+    ),
+    "cohort_retention": QuerySpec(
+        cohort_retention,
+        COHORT_RETENTION_SQL,
+        "weekly cohort retention matrix (first-week × offset counts)",
+    ),
     "ohlc_downsample": QuerySpec(
         ohlc_downsample,
         OHLC_DOWNSAMPLE_SQL,

@@ -91,6 +91,14 @@ HEADLINE = [
     "kmeans_update",
     "bloom_filter_probe",
     "ohlc_downsample",
+    "zorder_layout",
+    "incremental_agg",
+    "pii_mask",
+    "latest_event_snapshot",
+    "table_profile",
+    "gap_fill",
+    "cohort_retention",
+    "pps_sample",
 ]
 
 

@@ -278,3 +278,31 @@ def test_incremental_agg_partials_merge(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "incremental_agg"))
     assert p.count("HashAggregate") >= 4  # partial+final per branch ≥ 4
     assert "PushedFilters: [" in p
+
+
+def test_table_profile_single_scan(spark, sf_dir, queries):
+    """ANALYZE profiles every column in ONE scan of orders — the multi-
+    count-distinct Expand is allowed, a second FileScan is not."""
+    p = plan_of(_build(queries, spark, sf_dir, "table_profile"))
+    assert p.count("orders.parquet") == 1
+    assert "Expand" in p  # exact multi-column count-distinct shape
+
+
+def test_gap_fill_spine_from_rollup_not_raw(spark, sf_dir, queries):
+    """The dense hour spine must explode from the per-user min/max
+    aggregate, never from raw events (Generate sits above a HashAggregate),
+    and the locf window runs over the joined rollup. Catalyst plans the
+    spine's min/max as its own pruned 2-column scan rather than reusing the
+    rollup subtree — 2 scans max, both aggregate before the join."""
+    p = plan_of(_build(queries, spark, sf_dir, "gap_fill"))
+    assert p.count("events.parquet") <= 2
+    assert "Generate" in p and "Window" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_pps_sample_shuffle_free_until_agg(spark, sf_dir, queries):
+    """Weighted sampling is scan→project→filter-free aggregation: one
+    Exchange (the per-priority aggregate), all integer math JVM-side."""
+    p = plan_of(_build(queries, spark, sf_dir, "pps_sample"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
