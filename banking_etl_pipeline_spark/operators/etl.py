@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..domain.seed import seed_all
+from ..functions.numeric import cents
 from ..domain.transactions import transform_transactions
 from ..sinks.writers import merge_upsert as _merge
 from ..spec import QuerySpec
@@ -125,6 +126,78 @@ GROUP BY user_id
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the audit the reference's staged upsert
+    (`readshift_loader.py:68-149`) implies but never verifies: diff
+    yesterday's vs today's customer snapshot into inserted / deleted /
+    updated / unchanged, with the net balance movement per class.
+
+    Snapshots are simulated deterministically from the one customer table
+    (mod-key membership + a +50 balance bump on every 7th key). The diff is
+    ONE full outer join on the PK with integer-cents value comparison —
+    at 100 TB both snapshots live bucketed by PK (skew.write_bucketed), so
+    the join is co-located and shuffle-free; the class counts are a 4-row
+    aggregate. Exactly-once CDC without a change feed.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    old = c.filter(F.col("c_custkey") % 89 != 3)
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 5)
+        .withColumn(
+            "bal_c",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("bal_c") + 5000
+            ).otherwise(F.col("bal_c")),
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.c_custkey") == F.col("n.c_custkey"), "full"
+    )
+    status = (
+        F.when(F.col("o.c_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("deleted"))
+        .when(F.col("o.bal_c") != F.col("n.bal_c"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("n.bal_c"), F.lit(0)) - F.coalesce(
+        F.col("o.bal_c"), F.lit(0)
+    )
+    return (
+        j.select(status.alias("status"), delta.alias("delta_c"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("delta_c").alias("net_delta_cents"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+old AS (SELECT * FROM c WHERE c_custkey % 89 <> 3),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN bal_c + 5000 ELSE bal_c END AS bal_c
+  FROM c WHERE c_custkey % 97 <> 5
+)
+SELECT CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+            WHEN n.c_custkey IS NULL THEN 'deleted'
+            WHEN o.bal_c <> n.bal_c THEN 'updated'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(n.bal_c, 0) - COALESCE(o.bal_c, 0)) AS BIGINT)
+           AS net_delta_cents
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+GROUP BY 1
+"""
+
+
 def banking_txn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed (deterministic, distributed) → full transaction transform chain."""
     data = seed_all(spark, num_customers=200, num_accounts=300,
@@ -144,6 +217,10 @@ QUERIES: dict[str, QuerySpec] = {
     "latest_event_snapshot": QuerySpec(
         latest_event_snapshot, LATEST_EVENT_SNAPSHOT_SQL,
         "keep-latest-per-key CDC compaction as one max_by hash aggregate",
+    ),
+    "snapshot_diff": QuerySpec(
+        snapshot_diff, SNAPSHOT_DIFF_SQL,
+        "full-outer snapshot reconciliation: insert/delete/update classes",
     ),
     "banking_txn_pipeline": QuerySpec(
         banking_txn_pipeline, None,

@@ -668,7 +668,64 @@ GROUP BY 1, 2
 """
 
 
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (DAU/WAU) — the engagement
+    metric every event pipeline serves. A sliding COUNT DISTINCT cannot run
+    as a range-frame window (distinct isn't frame-decomposable); the
+    scalable shape is the offset-explode: dedup to (user, day) first (the
+    ONLY pass over raw events), then each active day contributes itself to
+    7 report days via a 7-element `sequence`+`explode`, and a plain
+    count-distinct per report day finishes. Data volume after dedup is
+    |users|·|active days|·7 — independent of raw event count, so 100 TB of
+    events costs one dedup aggregate; everything after is rollup-sized.
+    DAU rides along as the offset-0 slice of the same explode.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    active = e.select("user_id", day.alias("day")).distinct()
+    exploded = active.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return exploded.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count_distinct(
+            F.when(F.col("report_day") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+exploded AS (
+  SELECT user_id, day,
+         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP)
+                                       + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS report_day
+  FROM active
+)
+SELECT report_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT CASE WHEN report_day = day THEN user_id END)
+            AS BIGINT) AS dau
+FROM exploded
+GROUP BY report_day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rolling_active_users": QuerySpec(
+        rolling_active_users,
+        ROLLING_ACTIVE_USERS_SQL,
+        "trailing-7d distinct actives via offset-explode (DAU/WAU)",
+    ),
     "gap_fill": QuerySpec(
         gap_fill,
         GAP_FILL_SQL,

@@ -99,6 +99,8 @@ HEADLINE = [
     "gap_fill",
     "cohort_retention",
     "pps_sample",
+    "rolling_active_users",
+    "snapshot_diff",
 ]
 
 

@@ -306,3 +306,22 @@ def test_pps_sample_shuffle_free_until_agg(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "pps_sample"), "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rolling_active_users_dedup_before_explode(spark, sf_dir, queries):
+    """The 7× offset explode must sit ABOVE the (user, day) dedup
+    aggregate — exploding raw events first would 7× the full event volume.
+    One raw-event scan; Generate above an aggregate."""
+    p = plan_of(_build(queries, spark, sf_dir, "rolling_active_users"))
+    assert p.count("events.parquet") == 1
+    assert "Generate" in p and "HashAggregate" in p
+    assert "Window" not in p and "NestedLoop" not in p
+
+
+def test_snapshot_diff_single_join_four_rows(spark, sf_dir, queries):
+    """Reconciliation is ONE full outer join + one aggregate — no second
+    join, no Python, and both snapshot branches prune to 2 columns."""
+    p = plan_of(_build(queries, spark, sf_dir, "snapshot_diff"), "simple")
+    assert "FullOuter" in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
