@@ -526,7 +526,59 @@ FROM per_doc GROUP BY term
 """
 
 
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: count adjacent symbol
+    pairs across the corpus and surface the top candidates for the next
+    merge. Symbols here are characters within whitespace tokens (merge
+    round 0); the winning pair is what a trainer would fuse before
+    recounting. Shape: token explode → position explode (sequence over
+    len-1) → substr(2) → two-phase hash aggregate → TakeOrdered top-20
+    (count desc, pair asc — total order, deterministic). Map-side combine
+    collapses each partition to its distinct pairs (≤ alphabet², tiny), so
+    the shuffle is bounded by vocabulary, not corpus size — the reason
+    BPE training scales to 100 TB as a sequence of aggregate jobs.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - 1)
+        ).alias("i"),
+        "t",
+    ).select(F.expr("substr(t, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+BPE_PAIR_STATS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+pairs AS (
+  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_pair_stats": QuerySpec(
+        bpe_pair_stats,
+        BPE_PAIR_STATS_SQL,
+        "BPE merge-pair counting: explode→substr→bounded hash aggregate",
+    ),
     "lm_score": QuerySpec(
         lm_score,
         LM_SCORE_SQL,

@@ -720,7 +720,62 @@ GROUP BY report_day
 """
 
 
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function surface completing §2.6: first/last/nth_value
+    over the full partition frame plus percent_rank/cume_dist — per
+    customer over their orders, price-ordered with the orderkey tie-break
+    (unique ordering → deterministic cross-engine). One shuffle + one sort
+    serves all five functions (same Window spec), the frame is
+    unbounded-unbounded so Spark evaluates it with a single pass over each
+    sorted partition. percent_rank/cume_dist are exact small-integer
+    ratios — identical doubles in both engines."""
+    o = table(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    order_cols = [F.col("price_c"), F.col("o_orderkey")]
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wrank = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return o.select(
+        "o_custkey", "o_orderkey", c.alias("price_c")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "price_c",
+        F.first("price_c").over(wfull).alias("cheapest_c"),
+        F.last("price_c").over(wfull).alias("dearest_c"),
+        F.nth_value("price_c", 2).over(wfull).alias("second_c"),
+        F.percent_rank().over(wrank).alias("pr"),
+        F.cume_dist().over(wrank).alias("cd"),
+    )
+
+
+WINDOW_NAVIGATION_SQL = """
+SELECT o_custkey, o_orderkey, price_c,
+       first_value(price_c) OVER wf AS cheapest_c,
+       last_value(price_c)  OVER wf AS dearest_c,
+       nth_value(price_c, 2) OVER wf AS second_c,
+       percent_rank() OVER wr AS pr,
+       cume_dist()    OVER wr AS cd
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+)
+WINDOW wf AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wr AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_navigation": QuerySpec(
+        window_navigation,
+        WINDOW_NAVIGATION_SQL,
+        "first/last/nth_value + percent_rank/cume_dist, one sort",
+    ),
     "rolling_active_users": QuerySpec(
         rolling_active_users,
         ROLLING_ACTIVE_USERS_SQL,

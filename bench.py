@@ -101,6 +101,9 @@ HEADLINE = [
     "pps_sample",
     "rolling_active_users",
     "snapshot_diff",
+    "window_navigation",
+    "embedding_quantize",
+    "bpe_pair_stats",
 ]
 
 

@@ -325,3 +325,27 @@ def test_snapshot_diff_single_join_four_rows(spark, sf_dir, queries):
     assert "FullOuter" in p
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_window_navigation_single_sort(spark, sf_dir, queries):
+    """All five navigation functions share one (custkey, price, key)
+    partition sort: exactly one Exchange and one Sort."""
+    p = plan_of(_build(queries, spark, sf_dir, "window_navigation"), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Sort ") == 1
+
+
+def test_embedding_quantize_narrow(spark, sf_dir, queries):
+    """Quantization is scan→project: no Exchange, no Python eval — the
+    higher-order-function fold stays JVM-side."""
+    p = plan_of(_build(queries, spark, sf_dir, "embedding_quantize"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_pair_stats_bounded_topk(spark, sf_dir, queries):
+    """Pair counting must end in TakeOrdered (per-partition heap), never a
+    global sort of the pair vocabulary; the aggregate is partial+final."""
+    p = plan_of(_build(queries, spark, sf_dir, "bpe_pair_stats"), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "HashAggregate" in p
