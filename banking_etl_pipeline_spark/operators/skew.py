@@ -472,7 +472,93 @@ FROM nk CROSS JOIN member_pass CROSS JOIN nonmember_pass
 """
 
 
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL MERGE LAW, proven cross-engine: per-source shard sketches
+    (groupBy(source, bucket) max rho) merged by register-wise MAX must
+    equal the single-pass global sketch — max is associative, so the
+    merged registers are IDENTICAL, not approximately equal. Spark runs
+    the sharded+merge path; the DuckDB oracle runs the direct path; the
+    hash compare is the proof. This is what makes HLL the 100 TB distinct
+    counter: each of 1000 executors reduces its shard to 256 bytes of
+    registers, the merge is a 256-row max — cardinality of any union of
+    shards/days/sources without ever re-touching raw data."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_long
+
+    h = md5_long(F.concat(F.lit("hll:"), F.col("token")))
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select(
+        "source",
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("rest"),
+    )
+    bitlen = (
+        F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)
+    )
+    rho = (F.lit(HLL_HASH_BITS) - bitlen + 1).cast("int")
+    shard = toks.groupBy("source", "bucket").agg(F.max(rho).alias("m_rho"))
+    merged = shard.groupBy("bucket").agg(F.max("m_rho").alias("m_rho"))
+    z = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+    )
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("z") + (HLL_M - F.col("nonzero_buckets"))
+    )
+    zero_buckets = F.lit(HLL_M) - F.col("nonzero_buckets")
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (zero_buckets > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero_buckets),
+    ).otherwise(est_raw)
+    return z.select(
+        F.lit(HLL_M).alias("m"),
+        "nonzero_buckets",
+        ftrunc(est, 4).alias("hll_estimate"),
+    )
+
+
+HLL_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT {sql_md5_long("'hll:' || token")} AS hv FROM toks
+),
+b AS (
+  SELECT hv % {HLL_M} AS bucket, hv // {HLL_M} AS rest FROM h
+),
+regs AS (
+  SELECT bucket,
+         MAX(CAST({HLL_HASH_BITS} -
+             (CASE WHEN rest > 0 THEN length(bin(rest)) ELSE 0 END)
+             + 1 AS INTEGER)) AS m_rho
+  FROM b GROUP BY bucket
+),
+z AS (
+  SELECT SUM(POWER(2.0, -m_rho)) AS z,
+         CAST(COUNT(*) AS BIGINT) AS nonzero_buckets
+  FROM regs
+),
+est AS (
+  SELECT nonzero_buckets,
+         {HLL_ALPHA * HLL_M * HLL_M!r} / (z + ({HLL_M} - nonzero_buckets))
+             AS est_raw
+  FROM z
+)
+SELECT {HLL_M} AS m, nonzero_buckets,
+       FLOOR(CASE WHEN est_raw <= {2.5 * HLL_M} AND nonzero_buckets < {HLL_M}
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nonzero_buckets))
+             ELSE est_raw END * 10000.0) / 10000.0 AS hll_estimate
+FROM est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hll_merge": QuerySpec(
+        hll_merge, HLL_MERGE_SQL,
+        "HLL merge law: sharded register-max path ≡ direct global sketch",
+    ),
     "bloom_filter_probe": QuerySpec(
         bloom_filter_probe, BLOOM_FILTER_PROBE_SQL,
         "Bloom build+probe: zero false negatives, measured FPR",

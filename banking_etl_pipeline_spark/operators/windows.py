@@ -770,7 +770,69 @@ WINDOW wf AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey
 """
 
 
+def ohlc_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup HIERARCHY law: daily OHLC computed FROM the hourly OHLC
+    rollup must equal daily OHLC computed from raw ticks. The hourly stage
+    carries its own first/last event keys (min(k)/max(k)) so the day stage
+    can pick open = min_by(open, kmin) and close = max_by(close, kmax) —
+    the re-aggregation a hypertable serves coarser grains from. Spark runs
+    hour→day; the DuckDB oracle runs raw→day; hash equality is the proof.
+    At 100 TB this is why the continuous aggregate never re-reads raw
+    data: each grain reduces the one below it, and the reduction carries
+    exactly the (value, boundary-key) pairs needed to stay exact."""
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    hourly = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+        )
+    )
+    return (
+        hourly.withColumn("day", F.date_trunc("day", F.col("hour")).cast("date"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min_by("open", "kmin").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "kmax").alias("close"),
+        )
+    )
+
+
+OHLC_REAGGREGATE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       arg_min(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, printf('%020d:%010d', epoch_us(ts), event_id)) AS close
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ohlc_reaggregate": QuerySpec(
+        ohlc_reaggregate,
+        OHLC_REAGGREGATE_SQL,
+        "rollup hierarchy law: day-from-hour ≡ day-from-raw OHLC",
+    ),
     "window_navigation": QuerySpec(
         window_navigation,
         WINDOW_NAVIGATION_SQL,

@@ -104,6 +104,8 @@ HEADLINE = [
     "window_navigation",
     "embedding_quantize",
     "bpe_pair_stats",
+    "hll_merge",
+    "ohlc_reaggregate",
 ]
 
 

@@ -349,3 +349,20 @@ def test_bpe_pair_stats_bounded_topk(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "bpe_pair_stats"), "simple")
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_ohlc_reaggregate_two_aggs_one_scan(spark, sf_dir, queries):
+    """Day-from-hour must scan raw events exactly once, then run two
+    aggregate stages (hour, then day) — never a second raw scan."""
+    p = plan_of(_build(queries, spark, sf_dir, "ohlc_reaggregate"))
+    assert p.count("events.parquet") == 1
+    assert "partial_min_by" in p or "min_by" in p
+
+
+def test_hll_merge_register_sized_shuffles(spark, sf_dir, queries):
+    """The sharded HLL path aggregates (source, bucket) then bucket: both
+    shuffles carry register rows, and the token explode feeds a partial
+    aggregate before any exchange."""
+    p = plan_of(_build(queries, spark, sf_dir, "hll_merge"), "simple")
+    assert "partial_max" in p
+    assert "Generate explode" in p or "Generate" in p
