@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashing import sql_md5_long
 from ..functions.numeric import cents
 from ..spec import QuerySpec
 
@@ -397,7 +398,77 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the anti-entropy primitive for
+    comparing replicas/migrations without moving data: per table, XOR of a
+    60-bit md5 row digest (key columns + integer-cents money) plus the row
+    count. XOR is commutative/associative and its partial aggregates
+    merge, so 1000 executors each fold their partitions and the shuffle
+    carries ONE value per partition; two 100 TB replicas compare by
+    exchanging 16 bytes per table. Row digests come from the same
+    cross-engine md5 convention as every sketch here (functions/hashing).
+    orders and lineitem fingerprint in one query via unionByName of two
+    single-row aggregates."""
+    from ..functions.hashing import md5_long
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o_digest = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            cents(F.col("o_totalprice")).cast("string"),
+        )
+    )
+    li_digest = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            cents(F.col("l_extendedprice")).cast("string"),
+        )
+    )
+    # bit_xor has no pyspark.sql.functions wrapper in this version; F.expr
+    # keeps it a JVM SQL aggregate
+    o_sum = o.select(o_digest.alias("d")).agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(d)").alias("checksum"),
+    )
+    li_sum = li.select(li_digest.alias("d")).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(d)").alias("checksum"),
+    )
+    return o_sum.unionByName(li_sum)
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT 'orders' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor({sql_md5_long(
+           "CAST(o_orderkey AS VARCHAR) || '|' || "
+           "CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+           "AS VARCHAR)")}) AS checksum
+FROM orders
+UNION ALL
+SELECT 'lineitem' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor({sql_md5_long(
+           "CAST(l_orderkey AS VARCHAR) || '|' || "
+           "CAST(l_linenumber AS VARCHAR) || '|' || "
+           "CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) "
+           "AS VARCHAR)")}) AS checksum
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_checksum": QuerySpec(
+        table_checksum,
+        TABLE_CHECKSUM_SQL,
+        "order-independent XOR row-digest fingerprint per table",
+    ),
     "table_profile": QuerySpec(
         table_profile,
         TABLE_PROFILE_SQL,

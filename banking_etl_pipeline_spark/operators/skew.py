@@ -554,7 +554,73 @@ FROM est
 """
 
 
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting
+    (`salted_join`): per candidate key column of lineitem, the key count,
+    max per-key frequency, and the hot key itself. ONE scan feeds all
+    three columns via a stack Expand (3× rows, all integers), then two
+    bounded aggregates: (column, key) counts, then per-column max_by.
+    At 100 TB this runs as a cheap side job on a sample partition set; the
+    output is broadcast-sized and drives the salting factor (~max_freq /
+    target_rows_per_task)."""
+    li = table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, "
+            "'l_partkey', l_partkey, "
+            "'l_suppkey', l_suppkey) AS (col_name, key)"
+        )
+    )
+    per_key = stacked.groupBy("col_name", "key").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    return per_key.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        # sortable string key (freq desc, key asc): lexicographic max ==
+        # (max freq, then smallest key) — deterministic under ties, and
+        # accepted by arg_max/max_by in both engines
+        F.max_by(
+            "key",
+            F.format_string(
+                "%019d:%019d",
+                F.col("freq"),
+                F.lit(10**18) - F.col("key"),
+            ),
+        ).alias("hottest_key"),
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH stacked AS (
+  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per_key AS (
+  SELECT col_name, key, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM stacked GROUP BY col_name, key
+)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(freq) AS BIGINT) AS n_rows,
+       MAX(freq) AS max_freq,
+       arg_max(key, printf('%019d:%019d', freq, 1000000000000000000 - key))
+           AS hottest_key
+FROM per_key
+GROUP BY col_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "skew_report": QuerySpec(
+        skew_report, SKEW_REPORT_SQL,
+        "per-column key-skew diagnostic driving the salting factor",
+    ),
     "hll_merge": QuerySpec(
         hll_merge, HLL_MERGE_SQL,
         "HLL merge law: sharded register-max path ≡ direct global sketch",

@@ -62,7 +62,10 @@ class SourceSpec:
             assert self.dataframe is not None
             return self.dataframe
         if self.kind == "csv":
-            return read_csv(spark, self.path)
+            # reference semantics: raw-zone CSV infers types on ingest
+            # (s3_connector.py:23,41); costs one extra sampling scan —
+            # production should hand SourceSpec an explicit schema instead
+            return read_csv(spark, self.path, infer_schema=True)
         if self.kind == "parquet":
             return read_parquet(spark, self.path)
         if self.kind in ("jdbc", "rds"):

@@ -106,6 +106,8 @@ HEADLINE = [
     "bpe_pair_stats",
     "hll_merge",
     "ohlc_reaggregate",
+    "table_checksum",
+    "skew_report",
 ]
 
 

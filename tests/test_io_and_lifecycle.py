@@ -86,3 +86,23 @@ def test_quality_gate_fail_open(spark):
     result = run_pipeline(spark, spec)
     assert not result.quality["overall_passed"]  # reported…
     assert result.output is not None             # …but not fatal
+
+
+def test_cli_demo_runs_all_pipelines(spark, capsys):
+    """`python -m banking_etl_pipeline_spark --demo` ≅ the reference's
+    seed + main.py smoke run: all three entity pipelines pass their gates
+    and the CLI reports one JSON line per entity (main.py:305-311)."""
+    import json as _json
+
+    from banking_etl_pipeline_spark.__main__ import main
+
+    rc = main(["--demo"])
+    out = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert rc == 0
+    entities = {r["entity"] for r in out if "entity" in r}
+    assert entities == {"customer", "account", "transaction"}
+    assert out[-1] == {"overall_passed": True}
+    assert all(r["overall_passed"] for r in out if "entity" in r)

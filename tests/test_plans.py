@@ -366,3 +366,20 @@ def test_hll_merge_register_sized_shuffles(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "hll_merge"), "simple")
     assert "partial_max" in p
     assert "Generate explode" in p or "Generate" in p
+
+
+def test_table_checksum_partial_xor(spark, sf_dir, queries):
+    """The XOR fingerprint must fold map-side (partial_bit_xor before any
+    exchange) — the property that keeps the shuffle at one value per
+    partition at any table size."""
+    p = plan_of(_build(queries, spark, sf_dir, "table_checksum"))
+    assert "partial_bit_xor" in p or "bit_xor" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_skew_report_single_scan_expand(spark, sf_dir, queries):
+    """Three key columns profile from ONE lineitem scan (stack compiles to
+    a Generate node), never three scans."""
+    p = plan_of(_build(queries, spark, sf_dir, "skew_report"))
+    assert p.count("lineitem.parquet") == 1
+    assert "stack(3" in p
