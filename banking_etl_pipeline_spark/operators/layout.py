@@ -56,24 +56,39 @@ def _zvalue_sql(x: str, y: str) -> str:
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order locality report over lineitem (l_orderkey × l_partkey).
 
-    Bucket = top 6 Z-value bits (64 buckets ≅ 64 files). Each bucket's
-    bounding box [min,max]×[min,max] is what a file-skipping reader would
-    consult; Z-ordering makes the boxes narrow in BOTH keys, so a predicate
-    on either dimension prunes most buckets. At 100 TB: compute z once at
-    write time, `repartitionByRange(z)` → sorted parquet files; the report
-    below is exactly the footer min/max stats that sort produces. One
-    hash-aggregate pass, shuffle carries 64 grouping keys only.
+    Keys are first NORMALIZED into the 16-bit curve domain by each
+    dimension's max (integer scale: x·65535 div max — exact in both
+    engines; a Z-order writer always normalizes, otherwise small-domain
+    keys collapse onto one curve cell). The two maxes are a 1-row
+    aggregate broadcast back — the only non-scan input. Bucket = top 6
+    Z-value bits (64 buckets ≅ 64 files); each bucket's bounding box
+    [min,max]×[min,max] is what a file-skipping reader consults, and
+    Z-ordering keeps the boxes narrow in BOTH keys so a predicate on
+    either dimension prunes most buckets
+    (tests/test_properties.py::test_zorder_buckets_localize pins the mean
+    box area ≪ domain). At 100 TB: compute z once at write time,
+    `repartitionByRange(z)` + sortWithinPartitions → the parquet footer
+    min/max stats ARE this report. One scan, one broadcast, one bounded
+    hash aggregate.
     """
     li = table(spark, sf_dir, "lineitem")
-    # 64-bit keys: bit 31 of the Z-value would overflow a 32-bit int
-    x = F.col("l_orderkey").cast("long").bitwiseAND(F.lit((1 << _ZBITS) - 1))
-    y = F.col("l_partkey").cast("long").bitwiseAND(F.lit((1 << _ZBITS) - 1))
-    z = _zvalue(x, y)
+    x = F.col("l_orderkey").cast("long")
+    y = F.col("l_partkey").cast("long")
+    maxes = li.agg(
+        F.max(x).alias("mx"), F.max(y).alias("my")
+    )
+    keyed = li.select(x.alias("xr"), y.alias("yr")).crossJoin(
+        F.broadcast(maxes)
+    )
+    mask = F.lit((1 << _ZBITS) - 1)
+    xs = F.expr(f"(xr * {(1 << _ZBITS) - 1}) div mx")
+    ys = F.expr(f"(yr * {(1 << _ZBITS) - 1}) div my")
+    z = _zvalue(xs.bitwiseAND(mask), ys.bitwiseAND(mask))
     return (
-        li.select(
+        keyed.select(
             F.shiftright(z, 2 * _ZBITS - 6).alias("z_bucket"),
-            x.alias("xk"),
-            y.alias("yk"),
+            F.col("xr").alias("xk"),
+            F.col("yr").alias("yk"),
         )
         .groupBy("z_bucket")
         .agg(
@@ -88,18 +103,25 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MASK = (1 << _ZBITS) - 1
 ZORDER_LAYOUT_SQL = f"""
-WITH keyed AS (
-  SELECT (CAST(l_orderkey AS BIGINT) & {_MASK}) AS xk,
-         (CAST(l_partkey AS BIGINT) & {_MASK}) AS yk
+WITH maxes AS (
+  SELECT MAX(CAST(l_orderkey AS BIGINT)) AS mx,
+         MAX(CAST(l_partkey AS BIGINT)) AS my
   FROM lineitem
 ),
+keyed AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS xr,
+         CAST(l_partkey AS BIGINT) AS yr,
+         ((CAST(l_orderkey AS BIGINT) * {_MASK}) // mx) & {_MASK} AS xk,
+         ((CAST(l_partkey AS BIGINT) * {_MASK}) // my) & {_MASK} AS yk
+  FROM lineitem CROSS JOIN maxes
+),
 zed AS (
-  SELECT xk, yk, ({_zvalue_sql("xk", "yk")}) AS z FROM keyed
+  SELECT xr, yr, ({_zvalue_sql("xk", "yk")}) AS z FROM keyed
 )
 SELECT (z >> {2 * _ZBITS - 6}) AS z_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       MIN(xk) AS min_order, MAX(xk) AS max_order,
-       MIN(yk) AS min_part,  MAX(yk) AS max_part
+       MIN(xr) AS min_order, MAX(xr) AS max_order,
+       MIN(yr) AS min_part,  MAX(yr) AS max_part
 FROM zed
 GROUP BY z_bucket
 """

@@ -154,3 +154,115 @@ def test_propagate_min_labels_matches_model(spark, edges, iterations):
         for r in propagate_min_labels(df, iterations).collect()
     }
     assert got == _model_propagate(edges, iterations)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic invariants over the driver test tables (not hypothesis-
+# generated: the operators are pure functions of the fixed parquet inputs,
+# so each invariant is a single evaluated claim)
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir):
+    """Flipping one row's amount must flip the XOR fingerprint — the
+    sensitivity that makes the checksum usable for replica anti-entropy."""
+    from banking_etl_pipeline_spark.functions.hashing import md5_long
+    from banking_etl_pipeline_spark.functions.numeric import cents
+    from banking_etl_pipeline_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+
+    def xor_of(df):
+        d = md5_long(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                cents(F.col("o_totalprice")).cast("string"),
+            )
+        )
+        return df.select(d.alias("d")).agg(F.expr("bit_xor(d)")).collect()[0][0]
+
+    base = xor_of(o)
+    perturbed = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 0.01)
+        .otherwise(F.col("o_totalprice")),
+    )
+    assert xor_of(perturbed) != base
+
+
+def test_hll_merge_law_equals_direct(spark, sf_dir):
+    """Sharded register-max merge must reproduce the direct global
+    estimate EXACTLY (max is associative) — Spark-side twin of the
+    DuckDB-oracle proof."""
+    from banking_etl_pipeline_spark.operators.skew import hll_distinct, hll_merge
+
+    direct = hll_distinct(spark, sf_dir).collect()[0]
+    merged = hll_merge(spark, sf_dir).collect()[0]
+    assert merged["hll_estimate"] == direct["hll_estimate"]
+    assert merged["nonzero_buckets"] == direct["nonzero_buckets"]
+
+
+def test_ohlc_hierarchy_law_in_spark(spark, sf_dir):
+    """Day-from-hour must equal day-from-raw inside Spark as well (the
+    oracle proves it cross-engine; this pins the Spark-only algebra)."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.windows import ohlc_reaggregate
+
+    e = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    raw_day = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type", "value", key.alias("k"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+        )
+    )
+    a = {tuple(r) for r in ohlc_reaggregate(spark, sf_dir).collect()}
+    b = {tuple(r) for r in raw_day.collect()}
+    assert a == b
+
+
+def test_zorder_buckets_localize_both_dimensions(spark, sf_dir):
+    """Z-order bounding boxes must be small in BOTH keys: the mean box
+    area is a small fraction of the full domain rectangle (random
+    bucketing would give ~full-domain boxes)."""
+    from banking_etl_pipeline_spark.operators.layout import zorder_layout
+
+    rows = zorder_layout(spark, sf_dir).collect()
+    assert len(rows) > 8
+    xmax = max(r["max_order"] for r in rows)
+    ymax = max(r["max_part"] for r in rows)
+    domain = float(xmax) * float(ymax)
+    areas = [
+        (r["max_order"] - r["min_order"] + 1)
+        * (r["max_part"] - r["min_part"] + 1)
+        for r in rows
+    ]
+    mean_frac = (sum(areas) / len(areas)) / domain
+    # 64 buckets over a 2-D Z-curve: each box ~1/64 of the domain (plus
+    # curve-seam slack); random assignment would put this near 1.0
+    assert mean_frac < 0.25, f"mean box fraction {mean_frac:.3f}"
+
+
+def test_pps_estimator_unbiasedness(spark, sf_dir):
+    """The Horvitz–Thompson estimate of the population count must land
+    near the true count (deterministic draw — one fixed realization, so
+    assert a loose relative-error bound aggregated over all classes)."""
+    from banking_etl_pipeline_spark.operators.sampling import pps_sample
+
+    rows = pps_sample(spark, sf_dir).collect()
+    n_pop = sum(r["n_pop"] for r in rows)
+    est = sum(r["ht_estimate_micro"] for r in rows) / 1_000_000.0
+    assert n_pop > 0 and est > 0
+    rel_err = abs(est - n_pop) / n_pop
+    assert rel_err < 0.25, f"HT rel err {rel_err:.3f} (est {est}, pop {n_pop})"
