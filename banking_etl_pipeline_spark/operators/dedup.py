@@ -513,7 +513,84 @@ FROM scored WHERE n_shared > 0
 """
 
 
+# deterministic single-char-drop mutation shared by both engines: rows with
+# key%3=0 lose the character at position 5 + key % (len-5) (past the 4-char
+# blocking prefix, so blocking never separates a true pair; p_name length
+# is ≥ 7, so the modulus is ≥ 2)
+_FUZZY_DIRTY_EXPR = """
+CASE WHEN p_partkey % 3 = 0 THEN
+  concat(substring(p_name, 1,
+                   CAST(5 + p_partkey % (length(p_name) - 5) AS INT) - 1),
+         substring(p_name,
+                   CAST(5 + p_partkey % (length(p_name) - 5) AS INT) + 1))
+ELSE p_name END
+"""
+
+
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: match "dirty" incoming part names
+    (deterministic single-character drops) back to the clean catalog by
+    edit distance ≤ 1. The naive form is an all-pairs Levenshtein cross
+    join (quadratic, never viable); the scalable shape is BLOCKING: an
+    equi-join on a 4-char name prefix generates candidates (one shuffle,
+    pairs only within a block), a length band |Δlen| ≤ 1 prunes further,
+    and only surviving candidates pay the edit-distance evaluation —
+    Spark's threshold-bounded `levenshtein(l, r, 1)` at that, which
+    early-exits in O(n·threshold) instead of O(n²) per pair. At 100 TB
+    the block key is the unit of skew: a hot prefix block is a hot join
+    key, handled exactly like any skewed join (salt the block id, or
+    widen the prefix — selectivity and recall trade against each other).
+    Complements the content-hash/MinHash dedups (this file) with the
+    typo-tolerant matching that entity resolution over customer/account
+    master data needs (reference's dim_customer/dim_account surface,
+    SURVEY.md §2.8)."""
+    p = table(spark, sf_dir, "part")
+    # canonical entity dictionary: one row per distinct clean name
+    clean = p.groupBy(F.col("p_name").alias("c_name")).agg(
+        F.min("p_partkey").alias("c_key")
+    )
+    incoming = p.filter("p_partkey % 5 = 0").selectExpr(
+        "p_partkey AS in_id", f"({_FUZZY_DIRTY_EXPR}) AS in_name"
+    )
+    blocked = incoming.withColumn(
+        "blk", F.substring("in_name", 1, 4)
+    ).join(clean.withColumn("blk", F.substring("c_name", 1, 4)), "blk")
+    lev = F.expr("levenshtein(in_name, c_name, 1)")
+    return (
+        blocked.filter(
+            (F.abs(F.length("in_name") - F.length("c_name")) <= 1) & (lev >= 0)
+        )
+        .select(
+            "in_id",
+            F.col("c_key").alias("matched_key"),
+            lev.alias("dist"),
+        )
+    )
+
+
+FUZZY_JOIN_SQL = f"""
+WITH clean AS (
+  SELECT p_name AS c_name, MIN(p_partkey) AS c_key FROM part GROUP BY p_name
+),
+incoming AS (
+  SELECT p_partkey AS in_id, ({_FUZZY_DIRTY_EXPR}) AS in_name
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT in_id, c_key AS matched_key,
+       CAST(levenshtein(in_name, c_name) AS INTEGER) AS dist
+FROM incoming JOIN clean
+  ON substring(in_name, 1, 4) = substring(c_name, 1, 4)
+WHERE abs(length(in_name) - length(c_name)) <= 1
+  AND levenshtein(in_name, c_name) <= 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fuzzy_join": QuerySpec(
+        fuzzy_join,
+        FUZZY_JOIN_SQL,
+        "edit-distance entity resolution via prefix blocking",
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact dedup via content-hash groupBy"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "MinHash signature + LSH band join"),

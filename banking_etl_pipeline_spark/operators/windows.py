@@ -827,7 +827,141 @@ GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
 """
 
 
+DAY_US = 86_400 * 1_000_000
+
+
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: peak number of simultaneously-open
+    user sessions per day — the load metric behind capacity planning and
+    connection-pool sizing. The naive form is a point-in-interval
+    self-join (quadratic); the scalable shape is the SWEEP LINE: each
+    session interval becomes two boundary rows (+1 at start, −1 just
+    after end, integer microseconds), and a running sum over boundaries
+    ordered by time IS the concurrency curve. Partitioning the sweep is
+    the trick — a global ordered sweep would be a single-partition sort —
+    so sessions are first split at day boundaries (explode over covered
+    days, clip to the day), making each day's sweep independent:
+    partitionBy(day), sort only within the day. Peak-per-day is invariant
+    under tie permutations because +1 sorts before −1 at equal t, and the
+    max prefix sum over equal-key groups is order-independent. At 100 TB
+    the sweep input is |sessions|·(days covered) rows — rollup-sized —
+    and every stage after sessionization shuffles by day.
+
+    Extends the reference's window family (SURVEY.md §2.6) with the
+    interval-overlap shape its `transaction_transform.py:126-133` rolling
+    window cannot express (overlap counting is not frame-decomposable).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    sessions = (
+        e.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("s_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("e_us"),
+        )
+    )
+    per_day = sessions.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_us") / DAY_US), F.floor(F.col("e_us") / DAY_US)
+            )
+        ).alias("dayn"),
+    )
+    bounds = per_day.select(
+        "dayn",
+        F.greatest(F.col("s_us"), F.col("dayn") * DAY_US).alias("cs"),
+        F.least(F.col("e_us"), (F.col("dayn") + 1) * DAY_US - 1).alias("ce"),
+    ).selectExpr("dayn", "stack(2, cs, 1, ce + 1, -1) AS (t_us, delta)")
+    wsweep = (
+        Window.partitionBy("dayn")
+        .orderBy(F.col("t_us").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bounds.withColumn("conc", F.sum("delta").over(wsweep))
+        .groupBy("dayn")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_sessions"),
+        )
+        .select(
+            F.date_from_unix_date(F.col("dayn").cast("int")).alias("day"),
+            "peak_concurrency",
+            "n_sessions",
+        )
+    )
+
+
+CONCURRENT_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq,
+         ts
+  FROM gapped
+),
+iv AS (
+  SELECT MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM sessions GROUP BY user_id, session_seq
+),
+per_day AS (
+  SELECT s_us, e_us,
+         unnest(generate_series(CAST(FLOOR(s_us / 86400000000) AS BIGINT),
+                                CAST(FLOOR(e_us / 86400000000) AS BIGINT))) AS dayn
+  FROM iv
+),
+clipped AS (
+  SELECT dayn,
+         GREATEST(s_us, dayn * 86400000000) AS cs,
+         LEAST(e_us, (dayn + 1) * 86400000000 - 1) AS ce
+  FROM per_day
+),
+bounds AS (
+  SELECT dayn, cs AS t_us, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT dayn, ce + 1 AS t_us, -1 AS delta FROM clipped
+),
+swept AS (
+  SELECT dayn, delta,
+         SUM(delta) OVER (PARTITION BY dayn ORDER BY t_us ASC, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS conc
+  FROM bounds
+)
+SELECT DATE '1970-01-01' + CAST(dayn AS INTEGER) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM swept
+GROUP BY dayn
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "concurrent_sessions": QuerySpec(
+        concurrent_sessions,
+        CONCURRENT_SESSIONS_SQL,
+        "peak simultaneous sessions/day via day-partitioned sweep line",
+    ),
     "ohlc_reaggregate": QuerySpec(
         ohlc_reaggregate,
         OHLC_REAGGREGATE_SQL,

@@ -108,6 +108,8 @@ HEADLINE = [
     "ohlc_reaggregate",
     "table_checksum",
     "skew_report",
+    "concurrent_sessions",
+    "fuzzy_join",
 ]
 
 

@@ -126,3 +126,39 @@ def test_corpus_curation_funnel_monotone(spark, sf_dir):
         assert (r.curated_bpe_tokens > 0) == (r.n_curated > 0)
         total_curated += r.n_curated
     assert total_curated > 0, "quality/dedup gates rejected everything"
+
+
+def test_concurrent_sessions_invariants(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.windows import (
+        concurrent_sessions,
+        sessionization,
+    )
+
+    rows = concurrent_sessions(spark, sf_dir).collect()
+    assert rows, "at least one day with sessions"
+    n_sessions_total = sum(r.n_sessions for r in rows)
+    # every session touches >= 1 day, so day-level session touches >= sessions
+    n_sessions_true = sessionization(spark, sf_dir).count()
+    assert n_sessions_total >= n_sessions_true
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= r.n_sessions
+
+
+def test_fuzzy_join_recall(spark, sf_dir):
+    """Every mutated incoming record must still match its true canonical
+    name (single char drop => distance 1, blocking prefix preserved)."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.dedup import fuzzy_join
+
+    p = table(spark, sf_dir, "part")
+    truth = (
+        p.filter("p_partkey % 5 = 0")
+        .join(
+            p.groupBy(F.col("p_name")).agg(F.min("p_partkey").alias("c_key")),
+            "p_name",
+        )
+        .select(F.col("p_partkey").alias("in_id"), "c_key")
+    )
+    matches = fuzzy_join(spark, sf_dir).select("in_id", F.col("matched_key").alias("c_key"))
+    missed = truth.join(matches, ["in_id", "c_key"], "left_anti").count()
+    assert missed == 0
