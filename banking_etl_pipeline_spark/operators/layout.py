@@ -20,7 +20,7 @@ algebra: split-partials re-aggregated hash-match the one-pass oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -179,7 +179,80 @@ GROUP BY date_trunc('month', l_shipdate)
 """
 
 
+COMPACT_TARGET_BYTES = 65_536  # simulated target output-file size
+_ROW_BYTES = 120  # synthetic average row width for the simulated manifest
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/bin-packing step every
+    long-lived partitioned table needs (the reference's append-mode Delta
+    loads, `config/config.json:69-70`, are exactly how small files
+    accumulate). The manifest is simulated from lineitem: one "file" per
+    (ship-month, orderkey-bucket) with size = rows × 120 bytes. Planning
+    is linear bin packing per partition: order files by (bytes desc,
+    bucket), running-sum their sizes, and bin = floor((cumsum − bytes) /
+    target) — each output bin concatenates adjacent files to ≈ the target
+    size. All integer arithmetic; one window sort per PARTITION (month),
+    never global — and the input is table METADATA (one row per file), so
+    at 100 TB the plan runs on a manifest of ~10⁵ rows no matter how big
+    the data is. Output: per (month, bin) the file count, total bytes,
+    and whether the bin actually merges anything (n_files > 1)."""
+    li = table(spark, sf_dir, "lineitem")
+    manifest = (
+        li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+            (F.col("l_orderkey") % 50).alias("file_id"),
+        )
+        .agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy(F.col("bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = manifest.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / COMPACT_TARGET_BYTES
+        ),
+    )
+    return binned.groupBy("month", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        (F.count(F.lit(1)) > 1).alias("merges"),
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH manifest AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         l_orderkey % 50 AS file_id,
+         CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS bytes
+  FROM lineitem GROUP BY 1, 2
+),
+binned AS (
+  SELECT month, bytes,
+         CAST(FLOOR((SUM(bytes) OVER (PARTITION BY month
+                                      ORDER BY bytes DESC, file_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                     - bytes) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin
+  FROM manifest
+)
+SELECT month, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       COUNT(*) > 1 AS merges
+FROM binned GROUP BY month, bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "compaction_plan": QuerySpec(
+        compaction_plan,
+        COMPACTION_PLAN_SQL,
+        "per-partition small-file bin packing over a simulated manifest",
+    ),
     "zorder_layout": QuerySpec(
         zorder_layout,
         ZORDER_LAYOUT_SQL,

@@ -554,6 +554,145 @@ FROM est
 """
 
 
+def rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users from MERGED PER-DAY HLL SKETCHES,
+    next to the exact WAU — the scale path `rolling_active_users`'s
+    offset-explode cannot take to 90-day windows. One pass over raw
+    events reduces each day to ≤256 register rows (groupBy(day, bucket)
+    max rho); the window merge then operates on SKETCHES, not users:
+    each day's registers contribute to report days d..d+6 and a
+    register-wise MAX per (report_day, bucket) is the merged sketch —
+    the HLL merge law over a sliding window. Work after the first
+    aggregate is (days × 256 × 7) rows — independent of user count and
+    event volume, where the exact path's explode carries
+    |users|·|active days|·7. Everything is md5-register algebra (exact
+    integers; z is a sum of exact binary fractions), so the DuckDB
+    oracle reproduces the estimates bit-for-bit, and the exact WAU
+    column rides along to show the approximation error in-band."""
+    e = table(spark, sf_dir, "events")
+    from ..functions.hashing import md5_long
+
+    h = md5_long(F.concat(F.lit("wau:"), F.col("user_id").cast("string")))
+    base = e.select(
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("dayn"),
+        "user_id",
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("rest"),
+    )
+    bitlen = (
+        F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)
+    )
+    rho = (F.lit(HLL_HASH_BITS) - bitlen + 1).cast("int")
+    daily = base.groupBy("dayn", "bucket").agg(F.max(rho).alias("m_rho"))
+    active = base.select("dayn").distinct().withColumnRenamed(
+        "dayn", "report_day"
+    )
+    contrib = daily.select(
+        "bucket",
+        "m_rho",
+        F.explode(F.sequence(F.col("dayn"), F.col("dayn") + 6)).alias(
+            "report_day"
+        ),
+    ).join(F.broadcast(active), "report_day", "semi")
+    merged = contrib.groupBy("report_day", "bucket").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+    z = merged.groupBy("report_day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("z"),
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+    )
+    exact = (
+        base.select("dayn", "user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("dayn"), F.col("dayn") + 6)).alias(
+                "report_day"
+            ),
+        )
+        .join(F.broadcast(active), "report_day", "semi")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("z") + (HLL_M - F.col("nonzero_buckets"))
+    )
+    zero_buckets = F.lit(HLL_M) - F.col("nonzero_buckets")
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (zero_buckets > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero_buckets),
+    ).otherwise(est_raw)
+    return (
+        z.join(exact, "report_day")
+        .select(
+            F.date_from_unix_date(F.col("report_day").cast("int")).alias("day"),
+            "nonzero_buckets",
+            "wau_exact",
+            ftrunc(est, 4).alias("hll_wau"),
+        )
+    )
+
+
+ROLLING_HLL_WAU_SQL = f"""
+WITH base AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dayn,
+         user_id,
+         {sql_md5_long("'wau:' || CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+b AS (
+  SELECT dayn, hv % {HLL_M} AS bucket, hv // {HLL_M} AS rest FROM base
+),
+daily AS (
+  SELECT dayn, bucket,
+         MAX(CAST({HLL_HASH_BITS} -
+             (CASE WHEN rest > 0 THEN length(bin(rest)) ELSE 0 END)
+             + 1 AS INTEGER)) AS m_rho
+  FROM b GROUP BY dayn, bucket
+),
+active AS (SELECT DISTINCT dayn FROM base),
+contrib AS (
+  SELECT bucket, m_rho,
+         unnest(generate_series(dayn, dayn + 6)) AS report_day
+  FROM daily
+),
+merged AS (
+  SELECT report_day, bucket, MAX(m_rho) AS m_rho
+  FROM contrib
+  WHERE report_day IN (SELECT dayn FROM active)
+  GROUP BY report_day, bucket
+),
+z AS (
+  SELECT report_day, SUM(POWER(2.0, -m_rho)) AS z,
+         CAST(COUNT(*) AS BIGINT) AS nonzero_buckets
+  FROM merged GROUP BY report_day
+),
+exact AS (
+  SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact
+  FROM (
+    SELECT user_id,
+           unnest(generate_series(dayn, dayn + 6)) AS report_day
+    FROM (SELECT DISTINCT dayn, user_id FROM base)
+  )
+  WHERE report_day IN (SELECT dayn FROM active)
+  GROUP BY report_day
+),
+est AS (
+  SELECT report_day, nonzero_buckets,
+         {HLL_ALPHA * HLL_M * HLL_M!r} / (z + ({HLL_M} - nonzero_buckets))
+             AS est_raw
+  FROM z
+)
+SELECT DATE '1970-01-01' + CAST(e.report_day AS INTEGER) AS day,
+       e.nonzero_buckets, x.wau_exact,
+       FLOOR(CASE WHEN est_raw <= {2.5 * HLL_M} AND e.nonzero_buckets < {HLL_M}
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                        / ({HLL_M} - e.nonzero_buckets))
+             ELSE est_raw END * 10000.0) / 10000.0 AS hll_wau
+FROM est e JOIN exact x ON e.report_day = x.report_day
+"""
+
+
 def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic — the measurement that decides between a
     plain shuffle join, AQE skew splitting, and explicit salting
@@ -617,6 +756,11 @@ GROUP BY col_name
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "rolling_hll_wau": QuerySpec(
+        rolling_hll_wau,
+        ROLLING_HLL_WAU_SQL,
+        "7-day WAU from merged per-day HLL sketches, exact count in-band",
+    ),
     "skew_report": QuerySpec(
         skew_report, SKEW_REPORT_SQL,
         "per-column key-skew diagnostic driving the salting factor",

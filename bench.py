@@ -110,6 +110,8 @@ HEADLINE = [
     "skew_report",
     "concurrent_sessions",
     "fuzzy_join",
+    "rolling_hll_wau",
+    "compaction_plan",
 ]
 
 

@@ -162,3 +162,39 @@ def test_fuzzy_join_recall(spark, sf_dir):
     matches = fuzzy_join(spark, sf_dir).select("in_id", F.col("matched_key").alias("c_key"))
     missed = truth.join(matches, ["in_id", "c_key"], "left_anti").count()
     assert missed == 0
+
+
+def test_rolling_hll_wau_accuracy(spark, sf_dir):
+    """Merged-sketch WAU must track exact WAU within HLL error for m=256
+    (~6.5% standard error; allow 4 sigma)."""
+    from banking_etl_pipeline_spark.operators.skew import rolling_hll_wau
+
+    for r in rolling_hll_wau(spark, sf_dir).collect():
+        assert r.wau_exact > 0
+        rel = abs(r.hll_wau - r.wau_exact) / r.wau_exact
+        assert rel < 0.26, f"day {r.day}: est {r.hll_wau} vs {r.wau_exact}"
+
+
+def test_compaction_plan_conserves_bytes(spark, sf_dir):
+    """Bin packing must conserve the manifest: total planned bytes equal
+    rows × row-width, and every multi-file bin stays under target + one
+    max-file overshoot."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.layout import (
+        COMPACT_TARGET_BYTES,
+        _ROW_BYTES,
+        compaction_plan,
+    )
+
+    plan = compaction_plan(spark, sf_dir).collect()
+    total = sum(r.total_bytes for r in plan)
+    n_rows = table(spark, sf_dir, "lineitem").count()
+    assert total == n_rows * _ROW_BYTES
+    max_file = max(r.total_bytes for r in plan if r.n_files == 1) if any(
+        r.n_files == 1 for r in plan
+    ) else COMPACT_TARGET_BYTES
+    for r in plan:
+        if r.n_files > 1:
+            assert r.total_bytes <= COMPACT_TARGET_BYTES + max(
+                COMPACT_TARGET_BYTES, max_file
+            )
