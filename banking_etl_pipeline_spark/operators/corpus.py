@@ -573,7 +573,217 @@ LIMIT 20
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "hash")
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the corpus — the
+    scoring function behind lexical search and retrieval-based data
+    curation (rank corpus docs by closeness to a benchmark/topic). The
+    plan is ONE scan + ONE broadcast: per-doc term frequencies come from
+    `size(filter(tokens, t = q))` — higher-order array functions,
+    codegen'd, no explode, no join per term — and the corpus statistics
+    (N, Σdl, per-term document frequency) reduce to a single broadcast
+    row. Per-term scores are separate columns added in FIXED left-to-right
+    order (never a float SUM over a group, whose addition order is
+    partition-dependent), so the double math is bit-reproducible across
+    engines and cluster layouts. At 100 TB: stats row is daily-batch
+    metadata; scoring is a narrow map over the corpus — embarrassingly
+    parallel, zero shuffles after the stats broadcast."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)]
+    base = d.select("doc_id", *tf_cols, F.size(toks).alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    k1p1 = BM25_K1 + 1.0
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+        )
+        return idf * (tf * F.lit(k1p1)) / denom
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        joined.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf{i}") for i in range(len(BM25_QUERY))],
+            ftrunc(score, 4).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) "
+        f"AS INTEGER) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
+    terms = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1!r})"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * (dl / (sum_dl / n_docs)))))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {tf_exprs},
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_exprs}
+  FROM base
+)
+SELECT doc_id, dl, tf0, tf1, tf2,
+       {sql_ftrunc(f"({terms})", 4)} AS bm25
+FROM base CROSS JOIN stats
+WHERE {sql_ftrunc(f"({terms})", 4)} > 0
+"""
+
+
+BM25_RETRIEVAL_SQL = _bm25_sql()
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the phrase
+    detector (word2vec-phrases / vocabulary induction) over the corpus.
+    PMI = log(c_ab·Nu² / (Nb·c_a·c_b)) is MONOTONE in the exact rational
+    c_ab·Nu² / (Nb·c_a·c_b), so ranking never touches floats: score
+    numerator and denominator stay int64 end-to-end (bounds documented:
+    Nu² ≈ 10¹² at sf0.1 × c_ab keeps well under 2⁶³ for min-count-filtered
+    pairs; at larger corpora switch both factors to ratios of doubles or
+    DECIMAL(38)). One bigram explode feeds BOTH the pair counts and (via
+    the unigram stream) the word counts — two hash aggregates + two
+    broadcast-joins of count dictionaries, then TakeOrdered top-k on the
+    exact fraction (cross-engine identical double only for the final
+    displayed ratio). Min-count 5 kills the hapax noise PMI is infamous
+    for."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    unigrams = base.select(F.explode("t").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n_uni = unigrams.agg(F.count(F.lit(1)).alias("nu"))
+    bigrams = base.select(
+        "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    ).select(
+        F.element_at("t", F.col("i")).alias("a"),
+        F.element_at("t", F.col("i") + 1).alias("b"),
+    )
+    bg_counts = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    n_bg = bigrams.agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        bg_counts.join(F.broadcast(uni_counts.withColumnRenamed("w", "a")
+                                   .withColumnRenamed("cw", "ca")), "a")
+        .join(F.broadcast(uni_counts.withColumnRenamed("w", "b")
+                          .withColumnRenamed("cw", "cb")), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "cab",
+            (F.col("cab") * F.col("nu") * F.col("nu")).alias("score_num"),
+            (F.col("nb") * F.col("ca") * F.col("cb")).alias("score_den"),
+        )
+    )
+    ratio = F.col("score_num").cast("double") / F.col("score_den")
+    return (
+        scored.orderBy(ratio.desc(), F.col("bigram").asc())
+        .limit(PMI_TOP_K)
+        .select("bigram", "cab", "score_num", "score_den",
+                ftrunc(ratio, 6).alias("pmi_ratio"))
+    )
+
+
+PMI_COLLOCATIONS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+unigrams AS (
+  SELECT unnest(t) AS w FROM base
+),
+uni_counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM unigrams GROUP BY w
+),
+n_uni AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM unigrams),
+bigrams AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+),
+bg_counts AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+  FROM bigrams GROUP BY a, b
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+n_bg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bigrams),
+scored AS (
+  SELECT g.a || ' ' || g.b AS bigram, g.cab,
+         g.cab * nu * nu AS score_num,
+         nb * ua.cw * ub.cw AS score_den
+  FROM bg_counts g
+  JOIN uni_counts ua ON g.a = ua.w
+  JOIN uni_counts ub ON g.b = ub.w
+  CROSS JOIN n_uni CROSS JOIN n_bg
+)
+SELECT bigram, cab, score_num, score_den,
+       {sql_ftrunc("(CAST(score_num AS DOUBLE) / score_den)", 6)} AS pmi_ratio
+FROM scored
+ORDER BY CAST(score_num AS DOUBLE) / score_den DESC, bigram ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_retrieval": QuerySpec(
+        bm25_retrieval,
+        BM25_RETRIEVAL_SQL,
+        "BM25 lexical retrieval: higher-order-function TFs, one stats broadcast",
+    ),
+    "pmi_collocations": QuerySpec(
+        pmi_collocations,
+        PMI_COLLOCATIONS_SQL,
+        "integer-exact PMI collocation top-k from one bigram explode",
+    ),
     "bpe_pair_stats": QuerySpec(
         bpe_pair_stats,
         BPE_PAIR_STATS_SQL,

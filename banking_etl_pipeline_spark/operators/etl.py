@@ -205,7 +205,82 @@ def banking_txn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_transactions(data["transactions"])
 
 
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an insert/update/delete CHANGELOG to produce the live
+    snapshot — the semantic layer `latest_event_snapshot` (keep-latest)
+    lacks: a Debezium/Delta-CDF-style feed where the LAST operation per
+    key decides existence. The changelog is derived deterministically
+    from events (signup→I, view/click/purchase→U, error→D, applied in
+    (ts, event_id) order per user); the apply is ONE hash aggregate —
+    max_by over the zero-padded sortable key picks the final op and
+    value, and tombstoned keys (last op = D) are filtered AFTER
+    aggregation, so deletes cost nothing extra. Never a window sort, no
+    join: the shuffle carries one partial candidate per (partition,
+    user), which is the plan that applies a day's CDC feed to a
+    billion-row dimension. Delete history stays visible as n_deletes.
+
+    Reference tie-in: the staged upsert (`readshift_loader.py:68-149`)
+    only knows matched/unmatched; CDC apply is its generalization to
+    op-coded feeds (MERGE ... WHEN MATCHED AND op='D' THEN DELETE).
+    """
+    e = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    applied = (
+        e.select(
+            "user_id",
+            op.alias("op"),
+            cents(F.col("value")).alias("value_c"),
+            key.alias("k"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by("op", "k").alias("last_op"),
+            F.max_by("value_c", "k").alias("last_value_c"),
+            F.count(F.lit(1)).alias("n_ops"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        )
+    )
+    return applied.filter(F.col("last_op") != "D").select(
+        "user_id", "last_op", "last_value_c", "n_ops", "n_deletes"
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_c,
+         printf('%020d:%010d', epoch_us(ts), event_id) AS k
+  FROM events
+),
+applied AS (
+  SELECT user_id,
+         arg_max(op, k) AS last_op,
+         arg_max(value_c, k) AS last_value_c,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT user_id, last_op, last_value_c, n_ops, n_deletes
+FROM applied WHERE last_op <> 'D'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cdc_apply": QuerySpec(
+        cdc_apply,
+        CDC_APPLY_SQL,
+        "I/U/D changelog apply with tombstone filtering, one aggregate",
+    ),
     "merge_upsert": QuerySpec(
         merge_upsert_query, MERGE_UPSERT_SQL,
         "staged-upsert MERGE semantics as a pure anti-join + union",

@@ -112,6 +112,9 @@ HEADLINE = [
     "fuzzy_join",
     "rolling_hll_wau",
     "compaction_plan",
+    "cdc_apply",
+    "bm25_retrieval",
+    "pmi_collocations",
 ]
 
 

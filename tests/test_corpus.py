@@ -163,3 +163,31 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     r = bloom_filter_probe(spark, sf_dir).collect()[0]
     assert r["members_passed"] == r["n_keys"]
     assert r["fpr"] <= 0.02
+
+
+def test_bm25_score_ordering(spark, sf_dir):
+    """Docs containing more query terms at equal length should not score
+    zero; bm25 is positive iff some term matches."""
+    from banking_etl_pipeline_spark.operators.corpus import bm25_retrieval
+
+    rows = bm25_retrieval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tf0 + r.tf1 + r.tf2 > 0
+        assert r.bm25 > 0
+
+
+def test_pmi_min_count_and_exact_fraction(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.corpus import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        pmi_collocations,
+    )
+
+    rows = pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    ratios = [r.score_num / r.score_den for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert r.cab >= PMI_MIN_COUNT
+        assert r.score_num > 0 and r.score_den > 0

@@ -198,3 +198,18 @@ def test_compaction_plan_conserves_bytes(spark, sf_dir):
             assert r.total_bytes <= COMPACT_TARGET_BYTES + max(
                 COMPACT_TARGET_BYTES, max_file
             )
+
+
+def test_cdc_apply_tombstones(spark, sf_dir):
+    """No surviving user may have error ('D') as their latest event; users
+    whose last event is an error must be absent."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.etl import cdc_apply
+
+    out = cdc_apply(spark, sf_dir)
+    assert out.filter(F.col("last_op") == "D").count() == 0
+    e = table(spark, sf_dir, "events")
+    k = F.format_string("%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    last = e.groupBy("user_id").agg(F.max_by("event_type", k).alias("lt"))
+    dead = last.filter(F.col("lt") == "error").count()
+    assert out.count() == last.count() - dead
