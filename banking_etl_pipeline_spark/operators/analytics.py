@@ -1236,7 +1236,91 @@ ORDER BY s.s_suppkey
 """
 
 
+RANK_SCALE = 1_000_000  # initial integer mass per customer
+RANK_TOP_K = 25
+
+
+def bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps of a PageRank-style random walk over the
+    customer↔supplier bipartite graph (edge: customer ordered from
+    supplier) — the graph-centrality shape behind influence ranking and
+    importance propagation, next to `dup_clusters`' label propagation as
+    the second iterative-graph representative. Each step is ONE equi-join
+    (mass → incident edges) + ONE group-sum (mass arriving per node):
+    mass flows customer→supplier then supplier→customer, divided equally
+    over a node's edges by integer FLOOR division (remainders are
+    dropped, documented — this keeps every score an exact int64, so the
+    fixpoint loop is deterministic under any partitioning and the oracle
+    is exact; float PageRank would make group-sum order observable).
+    Degrees are one aggregate over the edge list; at 100 TB each
+    iteration is two shuffles on node id over an edge list that never
+    grows — loop to convergence by re-running the same two-shuffle step.
+    Output: top-25 customers by received 2-hop mass."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
+    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+    # step 1: every customer splits RANK_SCALE across its suppliers
+    supplier_mass = (
+        edges.join(cdeg, "c")
+        .select("s", F.floor(F.lit(RANK_SCALE) / F.col("cd")).alias("share"))
+        .groupBy("s")
+        .agg(F.sum("share").alias("s_mass"))
+    )
+    # step 2: each supplier splits its received mass back across its customers
+    customer_mass = (
+        edges.join(sdeg, "s")
+        .join(supplier_mass, "s")
+        .select("c", F.floor(F.col("s_mass") / F.col("sd")).alias("share"))
+        .groupBy("c")
+        .agg(F.sum("share").alias("rank_mass"))
+    )
+    return (
+        customer_mass.join(cdeg, "c")
+        .orderBy(F.col("rank_mass").desc(), F.col("c").asc())
+        .limit(RANK_TOP_K)
+        .select(F.col("c").alias("custkey"), "rank_mass", F.col("cd").alias("degree"))
+    )
+
+
+BIPARTITE_RANK_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cd FROM edges GROUP BY c),
+sdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sd FROM edges GROUP BY s),
+supplier_mass AS (
+  SELECT e.s, CAST(SUM({RANK_SCALE} // cd) AS BIGINT) AS s_mass
+  FROM edges e JOIN cdeg ON e.c = cdeg.c
+  GROUP BY e.s
+),
+customer_mass AS (
+  SELECT e.c, CAST(SUM(s_mass // sd) AS BIGINT) AS rank_mass
+  FROM edges e JOIN sdeg ON e.s = sdeg.s
+  JOIN supplier_mass m ON e.s = m.s
+  GROUP BY e.c
+)
+SELECT cm.c AS custkey, cm.rank_mass, cdeg.cd AS degree
+FROM customer_mass cm JOIN cdeg ON cm.c = cdeg.c
+ORDER BY cm.rank_mass DESC, cm.c ASC
+LIMIT {RANK_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bipartite_rank": QuerySpec(
+        bipartite_rank,
+        BIPARTITE_RANK_SQL,
+        "integer 2-step PageRank over the customer↔supplier graph",
+    ),
     "forecast_revenue": QuerySpec(
         forecast_revenue, FORECAST_REVENUE_SQL,
         "Q6-shaped single-scan filtered revenue agg",

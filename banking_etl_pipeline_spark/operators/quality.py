@@ -463,7 +463,119 @@ FROM lineitem
 """
 
 
+DQ_AS_OF = "2025-01-01"  # fixed audit date — never wall-clock (determinism)
+DQ_MAX_STALE_DAYS = {"events": 365, "orders": 9000, "lineitem": 9000}
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/staleness check — the SLA gate every scheduled pipeline
+    needs and the reference's DQ library lacks (`data_quality.py` checks
+    values, never arrival lag): per monitored table, the newest event
+    time, its lag against a FIXED as-of date (wall-clock in a check is a
+    determinism bug — the audit date is an explicit parameter), and a
+    pass verdict against the per-table SLA. One max-aggregate per table
+    (metadata-cheap: at 100 TB this reads parquet footer stats, or the
+    last partition under date partitioning — never a full scan), unioned
+    into one report, same shape as `table_checksum`."""
+    parts = []
+    for t, col in (("events", "ts"), ("orders", "o_orderdate"),
+                   ("lineitem", "l_shipdate")):
+        newest = F.max(F.col(col).cast("date"))
+        parts.append(
+            table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                newest.alias("newest"),
+                F.datediff(F.lit(DQ_AS_OF).cast("date"), newest).alias(
+                    "stale_days"
+                ),
+                (
+                    F.datediff(F.lit(DQ_AS_OF).cast("date"), newest)
+                    <= DQ_MAX_STALE_DAYS[t]
+                ).alias("fresh"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DQ_FRESHNESS_SQL = f"""
+SELECT 'events' AS table_name,
+       MAX(CAST(ts AS DATE)) AS newest,
+       CAST(DATE '{DQ_AS_OF}' - MAX(CAST(ts AS DATE)) AS INTEGER)
+           AS stale_days,
+       DATE '{DQ_AS_OF}' - MAX(CAST(ts AS DATE))
+           <= {DQ_MAX_STALE_DAYS["events"]} AS fresh
+FROM events
+UNION ALL
+SELECT 'orders', MAX(CAST(o_orderdate AS DATE)),
+       CAST(DATE '{DQ_AS_OF}' - MAX(CAST(o_orderdate AS DATE)) AS INTEGER),
+       DATE '{DQ_AS_OF}' - MAX(CAST(o_orderdate AS DATE))
+           <= {DQ_MAX_STALE_DAYS["orders"]}
+FROM orders
+UNION ALL
+SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)),
+       CAST(DATE '{DQ_AS_OF}' - MAX(CAST(l_shipdate AS DATE)) AS INTEGER),
+       DATE '{DQ_AS_OF}' - MAX(CAST(l_shipdate AS DATE))
+           <= {DQ_MAX_STALE_DAYS["lineitem"]}
+FROM lineitem
+"""
+
+
+PII_PATTERN = "[0-9]{2,}"  # digit-run detector (account/phone-number shape)
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-data detector over a semi-structured column — the scan
+    half of the compliance pair (`etl.py::pii_mask` is the remediation
+    half): regex-match digit runs inside the raw `events.props` JSON
+    payload and report exposure per event type (events scanned, events
+    with hits, total hits). Pattern matching runs as a codegen'd
+    `regexp_extract_all` + `size` — narrow map, no UDF, no shuffle until
+    the final small aggregate — so the audit costs one scan at any
+    volume and parallelizes per-file. The pattern set is a parameter;
+    production stacks more patterns (SSN/IBAN/email shapes) as
+    additional counter columns in the SAME single pass."""
+    e = table(spark, sf_dir, "events")
+    hits = F.size(F.regexp_extract_all(F.col("props"), F.lit(PII_PATTERN), F.lit(0)))
+    return (
+        e.select("event_type", hits.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("h") > 0).cast("long")).alias("events_with_hits"),
+            F.sum("h").alias("total_hits"),
+            F.max("h").alias("max_hits_per_event"),
+        )
+    )
+
+
+PII_SCAN_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(props, '{PII_PATTERN}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS events_with_hits,
+       CAST(SUM(len(regexp_extract_all(props, '{PII_PATTERN}'))) AS BIGINT)
+           AS total_hits,
+       CAST(MAX(len(regexp_extract_all(props, '{PII_PATTERN}'))) AS INTEGER)
+           AS max_hits_per_event
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pii_scan": QuerySpec(
+        pii_scan,
+        PII_SCAN_SQL,
+        "regex sensitive-data exposure audit over raw JSON payloads",
+    ),
+    "dq_freshness": QuerySpec(
+        dq_freshness,
+        DQ_FRESHNESS_SQL,
+        "per-table staleness vs fixed as-of date, one max-agg per table",
+    ),
     "table_checksum": QuerySpec(
         table_checksum,
         TABLE_CHECKSUM_SQL,

@@ -838,7 +838,162 @@ FROM b GROUP BY bucket
 """
 
 
+def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer sufficient statistics — the
+    statistics-layer answer to why `F.corr` can't be oracle-checked:
+    Spark's streaming co-moment update is float-accumulation-order
+    dependent (partition layout observable in the last ulp). Instead the
+    five sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are exact
+    int64 sums (floor-dollar units keep Σx² ≈ 10¹⁶ safely under 2⁶³ at
+    sf0.1 — promote to DECIMAL(38,0) beyond ~10⁹ rows, same plan), and
+    the correlation is ONE fixed-shape double expression over them —
+    bit-identical on any engine and any partitioning. Per-group (3
+    return flags) in a single partial+final hash aggregate; the
+    sufficient statistics are also MERGEABLE, so shards/days combine by
+    addition exactly like `incremental_agg`."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_extendedprice")).cast("long")
+    y = F.floor(F.col("l_quantity")).cast("long")
+    stats = (
+        li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    from ..functions.numeric import ftrunc
+
+    return stats.select(
+        "flag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        ftrunc(num / den, 6).alias("corr"),
+    )
+
+
+CORR_EXACT_SQL = """
+WITH stats AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                  * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                  * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT flag, n, sx, sy, sxy, sxx, syy,
+       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000.0) / 1000000.0 AS corr
+FROM stats
+"""
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into variants by a deterministic
+    hash of their id (here parity — in production the md5-bucket of
+    `sample_hash`), the experiment unit is the active user-DAY (daily
+    activation; per-user "ever purchased" saturates at 1 on a dense
+    stream), and the readout is conversion-rate lift plus the pooled
+    two-proportion z-score. One dedup aggregate to (user, day,
+    converted) — the only pass over raw events — then a 2-row aggregate and a fixed-shape
+    double expression over exact integer counts (rates, lift, z are all
+    derived from 4 ints, so the result is bit-stable cross-engine). The
+    analytics shape every growth team runs daily; at 100 TB the per-user
+    dedup is the same shuffle as any user-level rollup, and everything
+    after is constant-size."""
+    e = table(spark, sf_dir, "events")
+    # experiment unit = active user-day (daily activation), variant = the
+    # deterministic user split; per-user conversion would saturate at 1
+    per_unit = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    counts = per_unit.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    a = counts.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_conv").alias("c0")
+    )
+    b = counts.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_conv").alias("c1")
+    )
+    row = a.crossJoin(b)
+    from ..functions.numeric import ftrunc
+
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return row.select(
+        "n0", "c0", "n1", "c1",
+        ftrunc(p0, 6).alias("rate0"),
+        ftrunc(p1, 6).alias("rate1"),
+        ftrunc(p1 - p0, 6).alias("lift"),
+        ftrunc(z, 4).alias("z_score"),
+    )
+
+
+AB_TEST_LIFT_SQL = """
+WITH per_unit AS (
+  SELECT user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+counts AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM per_unit GROUP BY variant
+),
+row_ AS (
+  SELECT a.n_users AS n0, a.n_conv AS c0, b.n_users AS n1, b.n_conv AS c1
+  FROM (SELECT * FROM counts WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM counts WHERE variant = 1) b
+)
+SELECT n0, c0, n1, c1,
+       FLOOR(CAST(c0 AS DOUBLE) / n0 * 1000000.0) / 1000000.0 AS rate0,
+       FLOOR(CAST(c1 AS DOUBLE) / n1 * 1000000.0) / 1000000.0 AS rate1,
+       FLOOR((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             * 1000000.0) / 1000000.0 AS lift,
+       FLOOR((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1))
+             * 10000.0) / 10000.0 AS z_score
+FROM row_
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corr_exact": QuerySpec(
+        corr_exact,
+        CORR_EXACT_SQL,
+        "Pearson corr from exact int64 sufficient statistics, mergeable",
+    ),
+    "ab_test_lift": QuerySpec(
+        ab_test_lift,
+        AB_TEST_LIFT_SQL,
+        "A/B conversion lift + pooled z from 4 exact counts",
+    ),
     "histogram_prices": QuerySpec(
         histogram_prices,
         HISTOGRAM_PRICES_SQL,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import cents
+from ..functions.numeric import cents, ftrunc
 from ..spec import QuerySpec
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -956,7 +956,76 @@ GROUP BY dayn
 """
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — the financial/IoT
+    aggregate where a value holds until the next observation, so each
+    reading is weighted by how long it was current. A plain AVG is wrong
+    whenever sampling is irregular (it over-weights bursts); the correct
+    integral Σ(vᵢ·Δtᵢ)/Σ(Δtᵢ) is one lead() window per user and one
+    aggregate — and in integer (cents × microseconds) arithmetic the sum
+    is exact and order-independent, so the result is bit-identical across
+    engines and any partitioning. Bounds: |value_c| ≤ 10⁵ here, per-user
+    span ≤ 2.6·10¹² µs → Σ ≤ 10¹⁷ < 2⁶³; at wider spans promote the
+    accumulator to DECIMAL(38,0) (same plan). The last observation per
+    user carries no interval and drops out, exactly as in TimescaleDB's
+    `time_weight('LOCF')`. One shuffle on user_id shared by the window
+    and the aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    stepped = e.select(
+        "user_id",
+        "event_id",
+        cents(F.col("value")).alias("value_c"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    ).withColumn("next_us", F.lead("t_us", 1).over(w))
+    held = stepped.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "value_c",
+        (F.col("next_us") - F.col("t_us")).alias("dt_us"),
+    )
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("value_c") * F.col("dt_us")).alias("twap_num"),
+        ftrunc(
+            F.sum(F.col("value_c") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us")
+            / F.lit(100.0),
+            4,
+        ).alias("twap"),
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_c,
+         epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+held AS (
+  SELECT user_id, value_c, next_us - t_us AS dt_us
+  FROM stepped WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       CAST(SUM(value_c * dt_us) AS BIGINT) AS twap_num,
+       FLOOR(CAST(SUM(value_c * dt_us) AS DOUBLE) / SUM(dt_us) / 100.0
+             * 10000.0) / 10000.0 AS twap
+FROM held
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "time_weighted_avg": QuerySpec(
+        time_weighted_avg,
+        TIME_WEIGHTED_AVG_SQL,
+        "exact integer TWAP per user: lead() intervals + one aggregate",
+    ),
     "concurrent_sessions": QuerySpec(
         concurrent_sessions,
         CONCURRENT_SESSIONS_SQL,

@@ -115,6 +115,12 @@ HEADLINE = [
     "cdc_apply",
     "bm25_retrieval",
     "pmi_collocations",
+    "time_weighted_avg",
+    "dq_freshness",
+    "bipartite_rank",
+    "corr_exact",
+    "ab_test_lift",
+    "pii_scan",
 ]
 
 

@@ -213,3 +213,57 @@ def test_cdc_apply_tombstones(spark, sf_dir):
     last = e.groupBy("user_id").agg(F.max_by("event_type", k).alias("lt"))
     dead = last.filter(F.col("lt") == "error").count()
     assert out.count() == last.count() - dead
+
+
+def test_time_weighted_avg_bounds(spark, sf_dir):
+    """TWAP lies within [min, max] of the user's held values, and the
+    integer accumulators reconstruct the truncated double exactly."""
+    import math
+
+    from banking_etl_pipeline_spark.operators.windows import time_weighted_avg
+
+    for r in time_weighted_avg(spark, sf_dir).collect():
+        assert r.span_us > 0
+        expect = math.floor(r.twap_num / r.span_us / 100.0 * 10000.0) / 10000.0
+        assert r.twap == expect
+
+
+def test_bipartite_rank_mass_conservation(spark, sf_dir):
+    """Total supplier mass after step 1 cannot exceed customers × SCALE
+    (floor division only drops mass, never creates it)."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.analytics import (
+        RANK_SCALE,
+        bipartite_rank,
+    )
+
+    rows = bipartite_rank(spark, sf_dir).collect()
+    assert len(rows) == 25
+    n_cust = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    # 2-hop mass for any single customer is bounded by the whole graph mass
+    assert all(0 < r.rank_mass <= n_cust * RANK_SCALE for r in rows)
+    masses = [(r.rank_mass, -r.custkey) for r in rows]
+    assert masses == sorted(masses, reverse=True)
+
+
+def test_corr_exact_bounds(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.relational import corr_exact
+
+    rows = corr_exact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        # Cauchy-Schwarz on the raw sufficient statistics
+        assert r.sxy * r.sxy <= r.sxx * r.syy
+        assert r.n > 0
+
+
+def test_ab_test_lift_consistency(spark, sf_dir):
+    from banking_etl_pipeline_spark.operators.relational import ab_test_lift
+
+    r = ab_test_lift(spark, sf_dir).collect()[0]
+    assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1
+    assert 0.0 <= r.rate0 <= 1.0 and 0.0 <= r.rate1 <= 1.0
+    assert abs((r.rate1 - r.rate0) - r.lift) < 2e-6
