@@ -582,11 +582,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed query over the corpus — the
     scoring function behind lexical search and retrieval-based data
     curation (rank corpus docs by closeness to a benchmark/topic). The
-    plan is ONE scan + ONE broadcast: per-doc term frequencies come from
-    `size(filter(tokens, t = q))` — higher-order array functions,
-    codegen'd, no explode, no join per term — and the corpus statistics
-    (N, Σdl, per-term document frequency) reduce to a single broadcast
-    row. Per-term scores are separate columns added in FIXED left-to-right
+    plan is two narrow scans (stats pass, scoring pass) + ONE broadcast:
+    per-doc term frequencies come from `size(filter(tokens, t = q))` —
+    higher-order array functions, codegen'd, no explode, no join per
+    term — and the corpus statistics (N, Σdl, per-term document
+    frequency) reduce to a single broadcast row (a production pipeline
+    persists the stats row and scores in one pass). Per-term scores are separate columns added in FIXED left-to-right
     order (never a float SUM over a group, whose addition order is
     partition-dependent), so the double math is bit-reproducible across
     engines and cluster layouts. At 100 TB: stats row is daily-batch

@@ -383,3 +383,46 @@ def test_skew_report_single_scan_expand(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "skew_report"))
     assert p.count("lineitem.parquet") == 1
     assert "stack(3" in p
+
+
+def test_fuzzy_join_stays_equi_hash(spark, sf_dir, queries):
+    """Prefix blocking must plan as an equi join on the block key — an
+    edit-distance predicate alone would force BroadcastNestedLoopJoin
+    (all-pairs), the plan that dies at scale."""
+    p = plan_of(_build(queries, spark, sf_dir, "fuzzy_join"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_concurrent_sessions_sweep_partitioned_by_day(spark, sf_dir, queries):
+    """The sweep-line running sum must partition by day (per-day sorts),
+    never a single global ordered sort."""
+    p = plan_of(_build(queries, spark, sf_dir, "concurrent_sessions"))
+    assert "hashpartitioning(dayn" in p
+    # no global ordered sort: every Sort sits under a hash-partitioned
+    # Exchange (user for sessionization, dayn for the sweep)
+    assert "rangepartitioning" not in p
+
+
+def test_rolling_hll_wau_semi_join_broadcast(spark, sf_dir, queries):
+    """Active-day restriction is a broadcast semi join (tiny day list),
+    not a shuffle of register contributions."""
+    p = plan_of(_build(queries, spark, sf_dir, "rolling_hll_wau"))
+    assert "LeftSemi" in p
+    assert "BroadcastExchange" in p
+
+
+def test_time_weighted_avg_single_shuffle(spark, sf_dir, queries):
+    """The lead() window and the per-user aggregate share one user_id
+    exchange — the aggregate reuses the window's partitioning."""
+    p = plan_of(_build(queries, spark, sf_dir, "time_weighted_avg"))
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_bm25_no_python_no_explode_join(spark, sf_dir, queries):
+    """TF extraction stays in codegen'd higher-order functions: no Python
+    eval, no Generate/explode, stats arrive by broadcast."""
+    p = plan_of(_build(queries, spark, sf_dir, "bm25_retrieval"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
