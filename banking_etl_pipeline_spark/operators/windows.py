@@ -868,7 +868,20 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros(F.col("ts"))).alias("e_us"),
         )
     )
-    per_day = sessions.select(
+    return peak_daily_concurrency(sessions).select(
+        F.date_from_unix_date(F.col("dayn").cast("int")).alias("day"),
+        "peak_concurrency",
+        "n_sessions",
+    )
+
+
+def peak_daily_concurrency(intervals: DataFrame) -> DataFrame:
+    """Sweep-line core, reusable over any interval relation with integer-µs
+    `s_us`/`e_us` columns (inclusive ends): split at day boundaries, clip,
+    emit ±1 boundary rows, running-sum per day. Returns
+    (dayn, peak_concurrency, n_sessions) — property-tested against a
+    brute-force overlap counter in tests/test_properties.py."""
+    per_day = intervals.select(
         "s_us",
         "e_us",
         F.explode(
@@ -893,11 +906,6 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("conc").alias("peak_concurrency"),
             F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_sessions"),
-        )
-        .select(
-            F.date_from_unix_date(F.col("dayn").cast("int")).alias("day"),
-            "peak_concurrency",
-            "n_sessions",
         )
     )
 
@@ -971,13 +979,23 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     `time_weight('LOCF')`. One shuffle on user_id shared by the window
     and the aggregate."""
     e = table(spark, sf_dir, "events")
+    return twap_per_key(
+        e.select(
+            "user_id",
+            "event_id",
+            cents(F.col("value")).alias("value_c"),
+            F.unix_micros(F.col("ts")).alias("t_us"),
+        )
+    )
+
+
+def twap_per_key(obs: DataFrame) -> DataFrame:
+    """TWAP core over any observation relation with (user_id, event_id,
+    value_c, t_us) columns — lead() intervals + one exact integer
+    aggregate; property-tested against a brute-force integral in
+    tests/test_properties.py."""
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    stepped = e.select(
-        "user_id",
-        "event_id",
-        cents(F.col("value")).alias("value_c"),
-        F.unix_micros(F.col("ts")).alias("t_us"),
-    ).withColumn("next_us", F.lead("t_us", 1).over(w))
+    stepped = obs.withColumn("next_us", F.lead("t_us", 1).over(w))
     held = stepped.filter(F.col("next_us").isNotNull()).select(
         "user_id",
         "value_c",

@@ -266,3 +266,81 @@ def test_pps_estimator_unbiasedness(spark, sf_dir):
     assert n_pop > 0 and est > 0
     rel_err = abs(est - n_pop) / n_pop
     assert rel_err < 0.25, f"HT rel err {rel_err:.3f} (est {est}, pop {n_pop})"
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 86_400_000_000),  # start µs
+        st.integers(min_value=0, max_value=12 * 3_600_000_000),  # duration µs
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(iv=intervals_strategy)
+@settings(**SETTINGS)
+def test_sweepline_peak_matches_bruteforce(spark, iv):
+    """Sweep-line peak-per-day must equal the brute-force overlap count:
+    for every day, max over interval start points of how many clipped
+    intervals contain that point (peaks occur at starts)."""
+    from banking_etl_pipeline_spark.operators.windows import (
+        DAY_US,
+        peak_daily_concurrency,
+    )
+
+    rows = [(s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "s_us long, e_us long")
+    got = {
+        r.dayn: (r.peak_concurrency, r.n_sessions)
+        for r in peak_daily_concurrency(df).collect()
+    }
+
+    expect = {}
+    for dayn in {d for s, e in rows for d in range(s // DAY_US, e // DAY_US + 1)}:
+        lo, hi = dayn * DAY_US, (dayn + 1) * DAY_US - 1
+        clipped = [
+            (max(s, lo), min(e, hi)) for s, e in rows if s <= hi and e >= lo
+        ]
+        peak = max(
+            sum(1 for cs2, ce2 in clipped if cs2 <= cs <= ce2)
+            for cs, _ in clipped
+        )
+        expect[dayn] = (peak, len(clipped))
+    assert got == expect
+
+
+obs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # user
+        st.integers(min_value=0, max_value=10**9),      # t_us
+        st.integers(min_value=-10_000, max_value=10_000),  # value_c
+    ),
+    min_size=2,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(obs=obs_strategy)
+@settings(**SETTINGS)
+def test_twap_matches_bruteforce_integral(spark, obs):
+    from banking_etl_pipeline_spark.operators.windows import twap_per_key
+
+    rows = [(u, i, v, t) for i, (u, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value_c long, t_us long"
+    )
+    got = {r.user_id: (r.span_us, r.twap_num) for r in twap_per_key(df).collect()}
+
+    expect = {}
+    for u in {r[0] for r in rows}:
+        pts = sorted((t, v) for (uu, _, v, t) in rows if uu == u)
+        if len(pts) < 2:
+            continue
+        span = sum(pts[i + 1][0] - pts[i][0] for i in range(len(pts) - 1))
+        num = sum(
+            pts[i][1] * (pts[i + 1][0] - pts[i][0]) for i in range(len(pts) - 1)
+        )
+        expect[u] = (span, num)
+    assert got == expect
