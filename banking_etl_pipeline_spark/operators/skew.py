@@ -693,6 +693,104 @@ FROM est e JOIN exact x ON e.report_day = x.report_day
 """
 
 
+QS_BUCKETS = 1024
+QS_QUANTILES = (50, 95, 99)  # percent
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE equi-width histogram — the
+    fourth sketch (frequency=CMS, cardinality=HLL, membership=Bloom,
+    now distribution=histogram): 1024 integer bucket counts fully
+    describe the distribution's shape, shards combine by cell-wise
+    addition exactly like CMS, and any quantile is a cumulative-sum walk
+    + linear interpolation inside the crossing bucket. Error is bounded
+    by one bucket width of the value RANGE — the trade Spark's own
+    `approx_percentile` (GK sketch, rank-error bound) makes differently;
+    this form is chosen because every step is integer-exact until a
+    fixed-shape float epilogue, so the DuckDB oracle matches
+    bit-for-bit, which no rank-sketch can promise. Plan: one min/max/n
+    aggregate (broadcast back), one bucket hash-aggregate over the
+    scan, then all quantiles read off ≤1024 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    vals = li.select(cents(F.col("l_extendedprice")).alias("x"))
+    rng = vals.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    bucketed = vals.crossJoin(F.broadcast(rng)).select(
+        F.floor((F.col("x") - F.col("mn")) * QS_BUCKETS / span).alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .crossJoin(F.broadcast(rng))
+    )
+    qdf = rng.select(
+        F.explode(F.array(*[F.lit(q) for q in QS_QUANTILES])).alias("q"),
+        "n",
+    ).select("q", F.floor((F.col("q") * F.col("n") + 99) / 100).alias("target"))
+    width = span.cast("double") / QS_BUCKETS
+    hit = cum.join(
+        F.broadcast(qdf),
+        (F.col("prev") < F.col("target")) & (F.col("cum") >= F.col("target")),
+    )
+    est = (
+        F.col("mn")
+        + F.col("bucket") * width
+        + (F.col("target") - F.col("prev")).cast("double") / F.col("cnt") * width
+    )
+    return hit.select(
+        "q",
+        "target",
+        "bucket",
+        "cnt",
+        ftrunc(est / 100.0, 4).alias("estimate"),
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH vals AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
+  FROM lineitem
+),
+rng AS (
+  SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM vals
+),
+bucketed AS (
+  SELECT CAST(FLOOR((x - mn) * {QS_BUCKETS} / (mx - mn + 1)) AS BIGINT)
+             AS bucket
+  FROM vals CROSS JOIN rng
+),
+counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM bucketed GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+  FROM counts
+),
+qdf AS (
+  SELECT q, CAST(FLOOR((q * n + 99) / 100) AS BIGINT) AS target
+  FROM rng, LATERAL (SELECT unnest([{", ".join(str(q) for q in QS_QUANTILES)}]) AS q)
+)
+SELECT q, target, bucket, cnt,
+       FLOOR((mn + bucket * (CAST(mx - mn + 1 AS DOUBLE) / {QS_BUCKETS})
+              + CAST(target - (cum - cnt) AS DOUBLE) / cnt
+                * (CAST(mx - mn + 1 AS DOUBLE) / {QS_BUCKETS}))
+             / 100.0 * 10000.0) / 10000.0 AS estimate
+FROM cum CROSS JOIN rng
+JOIN qdf ON (cum - cnt) < target AND cum >= target
+"""
+
+
 def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic — the measurement that decides between a
     plain shuffle join, AQE skew splitting, and explicit salting
@@ -756,6 +854,11 @@ GROUP BY col_name
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "quantile_sketch": QuerySpec(
+        quantile_sketch,
+        QUANTILE_SKETCH_SQL,
+        "mergeable 1024-bucket histogram quantiles, integer-exact to the epilogue",
+    ),
     "rolling_hll_wau": QuerySpec(
         rolling_hll_wau,
         ROLLING_HLL_WAU_SQL,

@@ -37,6 +37,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: merge the footers of every generation
+    (`mergeSchema`) so columns added over time surface as nullable on old
+    files. Footer merge is driver-side metadata work; the scans stay
+    columnar and pruned (a column absent from a file reads as null with
+    zero IO for that file)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     # ≅ monitor.py:30
     return spark.read.text(path)

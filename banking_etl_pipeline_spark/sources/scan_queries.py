@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
 from ..spec import QuerySpec
-from .readers import read_csv, read_json, read_orc, read_parquet, read_text
+from .readers import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_parquet_evolved,
+    read_text,
+)
 
 _CACHE_ROOT = "/tmp/banking_etl_pipeline_spark_cache"
 
@@ -86,7 +93,47 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCAN_ORC_SQL = "SELECT r_regionkey, r_name FROM region"
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: generation 1 of the customer extract
+    was written WITHOUT the balance column, generation 2 added it
+    (integer cents). A `mergeSchema` read unions the generations with the
+    added column nullable on gen-1 rows — the unmanaged-evolution
+    behavior the reference's inferSchema ingest implies but never pins
+    down (SURVEY.md §1 "schema evolution is unmanaged"). The oracle is
+    the equivalent typed UNION over the original table."""
+    path = _cache_dir(sf_dir, "customer_evo")
+    c = table(spark, sf_dir, "customer")
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import cents
+
+    if not os.path.exists(os.path.join(path, "gen2", "_SUCCESS")):
+        c.filter("c_custkey % 2 = 0").select("c_custkey", "c_name").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "gen1"))
+        c.filter("c_custkey % 2 = 1").select(
+            "c_custkey", "c_name", cents(F.col("c_acctbal")).alias("bal_c")
+        ).write.mode("overwrite").parquet(os.path.join(path, "gen2"))
+    return read_parquet_evolved(
+        spark, os.path.join(path, "gen1"), os.path.join(path, "gen2")
+    ).select("c_custkey", "c_name", "bal_c")
+
+
+SCAN_SCHEMA_EVOLUTION_SQL = """
+SELECT c_custkey, c_name, CAST(NULL AS BIGINT) AS bal_c
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_name, CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scan_schema_evolution": QuerySpec(
+        scan_schema_evolution,
+        SCAN_SCHEMA_EVOLUTION_SQL,
+        "mergeSchema read across column-added parquet generations",
+    ),
     "scan_csv": QuerySpec(scan_csv, SCAN_CSV_SQL, "CSV scan round-trip (S1)"),
     "scan_parquet": QuerySpec(scan_parquet, SCAN_PARQUET_SQL, "parquet scan (S2)"),
     "scan_text": QuerySpec(scan_text, SCAN_TEXT_SQL, "text-line scan (S5)"),

@@ -121,6 +121,8 @@ HEADLINE = [
     "corr_exact",
     "ab_test_lift",
     "pii_scan",
+    "quantile_sketch",
+    "scan_schema_evolution",
 ]
 
 

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — the checked-in physical-plan gallery.
+
+Usage:  python scripts/dump_plans.py [sf_dir]   (default sf0.001)
+
+The gallery pins the plan SHAPES tests/test_plans.py asserts on, for human
+review: pushdown reaching the scan, dims broadcasting, windows sharing one
+exchange, sketches folding map-side. Curated keys only — the full corpus
+would be noise; every registered query is still plan-audited by the tests.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from banking_etl_pipeline_spark.plans import plan_of
+from banking_etl_pipeline_spark.registry import all_queries
+from banking_etl_pipeline_spark.session import get_spark
+
+GALLERY: dict[str, str] = {
+    "pricing_summary": "TPC-H Q1 shape: pushdown filter + partial/final hash agg, whole-stage codegen end to end.",
+    "local_supplier_volume": "6-table star: every dimension broadcast, fact side never shuffles for a dim join.",
+    "forecast_revenue": "Single-scan filtered aggregate: all three predicates pushed to the parquet scan.",
+    "window_running_sum": "One exchange + one sort serves the whole window family.",
+    "latest_event_snapshot": "Keep-latest as partial+final max_by aggregate — no window sort anywhere.",
+    "rolling_active_users": "Offset-explode on the DEDUPED (user, day) relation; raw events touched once.",
+    "dedup_minhash_lsh": "Signature build codegen'd; band equi-join on persisted signatures (no recompute).",
+    "zorder_layout": "32 codegen'd bit ops per row for the Z-value; per-bucket min/max boxes from one aggregate.",
+    "snapshot_diff": "Single full-outer sort-merge join on the PK + 4-row class aggregate.",
+    "table_checksum": "XOR digest folds map-side (partial_bit_xor); shuffle carries one value per partition.",
+    "concurrent_sessions": "Sweep line partitioned by day: sessionization exchange (user) then sweep exchange (dayn) — never a global ordered sort.",
+    "time_weighted_avg": "lead() window and per-user aggregate share ONE user_id exchange.",
+    "rolling_hll_wau": "Per-day registers (≤256 rows/day) offset-exploded and merged by MAX; active-day filter is a broadcast semi join.",
+    "fuzzy_join": "Edit-distance resolution stays an equi hash join on the 4-char block; levenshtein evaluated only post-join.",
+    "quantile_sketch": "Bucket counts partial+final aggregated; quantile walk runs on ≤1024 rows (broadcast epilogue).",
+    "bipartite_rank": "Each power-iteration step = equi-join + group-sum; degree dictionaries broadcast.",
+    "bm25_retrieval": "Higher-order-function TFs (no Generate, no Python eval); corpus stats arrive as a broadcast row.",
+    "compaction_plan": "Manifest aggregate then per-partition window running sum — plan runs on metadata-sized input.",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="dump_plans")
+    queries = all_queries()
+    out = [
+        "# PLANS — representative physical plans (sf0.001, local[32], AQE on)",
+        "",
+        'Captured with `df.explain("simple")` via `plans.plan_of`. These are the',
+        "shapes `tests/test_plans.py` pins; regenerate with",
+        "`python scripts/dump_plans.py`.",
+    ]
+    for key, caption in GALLERY.items():
+        plan = plan_of(queries[key].build(spark, sf_dir), "simple").strip()
+        out += ["", f"## {key}", "", caption, "", "```", plan, "```"]
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "PLANS.md"),
+        "w",
+    ) as f:
+        f.write("\n".join(out) + "\n")
+    print(f"PLANS.md regenerated: {len(GALLERY)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -267,3 +267,28 @@ def test_ab_test_lift_consistency(spark, sf_dir):
     assert 0 <= r.c0 <= r.n0 and 0 <= r.c1 <= r.n1
     assert 0.0 <= r.rate0 <= 1.0 and 0.0 <= r.rate1 <= 1.0
     assert abs((r.rate1 - r.rate0) - r.lift) < 2e-6
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """Histogram quantile estimates must land within one bucket width of
+    the exact quantile (the sketch's guarantee)."""
+    import duckdb
+
+    from banking_etl_pipeline_spark.operators.skew import (
+        QS_BUCKETS,
+        quantile_sketch,
+    )
+
+    rows = {r.q: r.estimate for r in quantile_sketch(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT MIN(l_extendedprice), MAX(l_extendedprice) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    width = (hi - lo) / QS_BUCKETS
+    for q, est in rows.items():
+        exact = con.execute(
+            f"SELECT quantile_cont(l_extendedprice, {q / 100}) "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert abs(est - exact) <= width + 0.01, (q, est, exact, width)
