@@ -598,6 +598,45 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (`intersectAll` / `exceptAll`) —
+    INTERSECT keeps min(m_left, m_right) copies, EXCEPT subtracts
+    multiplicities — over customer keys that legitimately repeat (one per
+    order). The distinct-semantics cousins (`set_ops`) collapse to hash
+    aggregates; the ALL forms need per-row multiplicity bookkeeping,
+    which Spark plans as a count-aggregate + generate replay rather than
+    a raw join — still one shuffle on the key. The reconciliation
+    algebra for multisets (e.g. 'orders in feed A not yet in feed B,
+    counting duplicates')."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersectAll(big).withColumn(
+        "op", F.lit("intersect_all")
+    ).unionByName(
+        urgent.exceptAll(big).withColumn("op", F.lit("except_all"))
+    )
+
+
+SET_OPS_ALL_SQL = """
+SELECT custkey, 'intersect_all' AS op FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+)
+UNION ALL
+SELECT custkey, 'except_all' AS op FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+)
+"""
+
+
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON props surface for the `events` stream table (SURVEY.md §2.9 / §7.8)
     e = table(spark, sf_dir, "events")
@@ -983,7 +1022,103 @@ FROM row_
 """
 
 
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    semantics master-data reconciliation needs when the key itself can be
+    missing on both sides (a plain `=` silently drops every NULL row —
+    the classic lost-rows bug). Nullable keys are derived
+    deterministically (every 7th nation key on one side, every 5th on
+    the other), the join uses `eqNullSafe`, and the NULL×NULL block
+    matches. Still a hash-partitionable equi-join at scale — Spark
+    hashes the null bucket like any value — but note the null group is a
+    SKEW KEY by construction (all nulls co-locate); a high-null-rate key
+    wants the salting lever before this join."""
+    n = table(spark, sf_dir, "nation")
+    left = n.select(
+        F.when(F.col("n_nationkey") % 7 == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("lk"),
+        F.col("n_name").alias("lname"),
+    )
+    right = n.select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("rk"),
+        F.col("n_name").alias("rname"),
+    )
+    return (
+        left.join(right, F.col("lk").eqNullSafe(F.col("rk")))
+        .groupBy(F.col("lk").isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("lname").alias("n_left"),
+            F.count_distinct("rname").alias("n_right"),
+        )
+    )
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH l AS (
+  SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS lk,
+         n_name AS lname
+  FROM nation
+),
+r AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS rk,
+         n_name AS rname
+  FROM nation
+)
+SELECT lk IS NULL AS null_key,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT lname) AS BIGINT) AS n_left,
+       CAST(COUNT(DISTINCT rname) AS BIGINT) AS n_right
+FROM l JOIN r ON lk IS NOT DISTINCT FROM rk
+GROUP BY lk IS NULL
+"""
+
+
+def not_in_vs_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as a query: against a subquery that
+    contains a NULL, `NOT IN` is three-valued-logic poison (no row ever
+    qualifies — the predicate is UNKNOWN for every candidate), while
+    `NOT EXISTS` keeps its anti-join meaning. Both counts are computed
+    through the SQL door over the same null-polluted supplier-key list;
+    the correct form plans as a left-anti join (null-aware), and the
+    pair (0, true-count) is the regression pin that the engine
+    implements standard semantics — the corner every migration off a
+    warehouse gets burned by once."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(NOT_IN_VS_NOT_EXISTS_SQL)
+
+
+NOT_IN_VS_NOT_EXISTS_SQL = """
+WITH keys AS (
+  SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+      AS not_in_count,
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+        AS BIGINT)
+      AS not_exists_count
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "null_safe_join": QuerySpec(
+        null_safe_join,
+        NULL_SAFE_JOIN_SQL,
+        "IS NOT DISTINCT FROM join semantics with a null block",
+    ),
+    "not_in_vs_not_exists": QuerySpec(
+        not_in_vs_not_exists,
+        NOT_IN_VS_NOT_EXISTS_SQL,
+        "three-valued-logic NOT IN trap vs null-aware anti join",
+    ),
     "corr_exact": QuerySpec(
         corr_exact,
         CORR_EXACT_SQL,
@@ -1023,6 +1158,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_rollup": QuerySpec(cube_rollup, CUBE_ROLLUP_SQL, "rollup aggregate"),
     "grouping_sets": QuerySpec(grouping_sets, GROUPING_SETS_SQL, "explicit GROUPING SETS via the SQL door"),
     "set_ops": QuerySpec(set_ops, SET_OPS_SQL, "union/intersect/except"),
+    "set_ops_all": QuerySpec(
+        set_ops_all, SET_OPS_ALL_SQL, "bag-semantics INTERSECT ALL / EXCEPT ALL"
+    ),
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL, "JSON field extraction"),
     "string_funcs": QuerySpec(string_funcs, STRING_FUNCS_SQL, "string-function surface (§2.9 gap)"),
     "date_arithmetic": QuerySpec(date_arithmetic, DATE_ARITHMETIC_SQL, "date/interval arithmetic surface"),

@@ -123,6 +123,9 @@ HEADLINE = [
     "pii_scan",
     "quantile_sketch",
     "scan_schema_evolution",
+    "null_safe_join",
+    "not_in_vs_not_exists",
+    "set_ops_all",
 ]
 
 
