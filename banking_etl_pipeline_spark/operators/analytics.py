@@ -1315,7 +1315,69 @@ LIMIT {RANK_TOP_K}
 """
 
 
+BASKET_MAX_LINES = 10
+BASKET_TOP_K = 20
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part PAIRS ordered together —
+    the support-counting inner loop of association-rule mining. The pair
+    generation is a self equi-join of lineitem on the order key with
+    p1 < p2 (each unordered pair once); the quadratic-in-basket-size
+    blowup is capped by filtering to baskets of ≤ 10 lines FIRST (one
+    aggregate + semi join — the standard guard: a single 10k-line basket
+    would otherwise emit 50M pairs), so pair volume is ≤ C(10,2)/basket.
+    Count + TakeOrdered top-20 finishes. At 100 TB: the self-join
+    shuffles on orderkey (baskets co-locate), the cap bounds memory per
+    key, and the count is map-side combined — the same plan FP-growth
+    preprocessing uses."""
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        lines.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BASKET_MAX_LINES)
+        .select("l_orderkey")
+    )
+    b = lines.join(small, "l_orderkey", "semi")
+    left = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    right = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    pairs = left.join(right, "k").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(BASKET_TOP_K)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+small AS (
+  SELECT l_orderkey FROM lines GROUP BY l_orderkey
+  HAVING COUNT(*) <= {BASKET_MAX_LINES}
+),
+b AS (
+  SELECT l.l_orderkey, l.l_partkey FROM lines l
+  WHERE l.l_orderkey IN (SELECT l_orderkey FROM small)
+)
+SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+GROUP BY a.l_partkey, c.l_partkey
+ORDER BY support DESC, p1 ASC, p2 ASC
+LIMIT {BASKET_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "basket_pairs": QuerySpec(
+        basket_pairs,
+        BASKET_PAIRS_SQL,
+        "capped-basket co-occurrence pair support, top-k",
+    ),
     "bipartite_rank": QuerySpec(
         bipartite_rank,
         BIPARTITE_RANK_SQL,

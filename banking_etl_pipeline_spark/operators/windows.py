@@ -1038,7 +1038,101 @@ GROUP BY user_id
 """
 
 
+PATHS_TOP_K = 10
+PATH_LEN = 3
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the most common opening event SEQUENCES (first
+    3 event types per session, in time order) — the navigation-flow
+    report behind every product-analytics 'user paths' view. Sessions
+    come from the shared gap-based build; the ordered prefix uses
+    `array_sort(collect_list(struct(sortkey, type)))` — collect_list is
+    partition-order-nondeterministic on its own, so the zero-padded
+    (epoch-µs, event_id) sort key INSIDE the struct is what makes the
+    path deterministic under any shuffle layout (same discipline as
+    `inverted_index`). Per-session state is bounded by the slice: only
+    the first 3 entries survive, and at 100 TB you'd push the limit into
+    the aggregate with a min_by-k sketch; counts then TakeOrdered
+    top-10. One user shuffle + one path-count shuffle."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    sessioned = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    k = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    paths = (
+        sessioned.select("user_id", "session_seq", k.alias("k"), "event_type")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("k"), F.col("event_type")))
+                        ),
+                        1,
+                        PATH_LEN,
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATHS_TOP_K)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq
+  FROM gapped
+),
+paths AS (
+  SELECT user_id, session_seq,
+         array_to_string(
+           list_slice(list(event_type ORDER BY printf('%020d:%010d',
+                                                      epoch_us(ts), event_id)),
+                      1, {PATH_LEN}),
+           '>') AS path
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATHS_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "top_paths": QuerySpec(
+        top_paths,
+        TOP_PATHS_SQL,
+        "ordered session-prefix path mining, deterministic under shuffle",
+    ),
     "time_weighted_avg": QuerySpec(
         time_weighted_avg,
         TIME_WEIGHTED_AVG_SQL,

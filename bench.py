@@ -126,6 +126,8 @@ HEADLINE = [
     "null_safe_join",
     "not_in_vs_not_exists",
     "set_ops_all",
+    "basket_pairs",
+    "top_paths",
 ]
 
 

@@ -426,3 +426,12 @@ def test_bm25_no_python_no_explode_join(spark, sf_dir, queries):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Generate" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_basket_pairs_semi_then_equi(spark, sf_dir, queries):
+    """The basket cap must plan as a semi join and pair generation as an
+    equi join on the order key — never a nested-loop pair product."""
+    p = plan_of(_build(queries, spark, sf_dir, "basket_pairs"))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
