@@ -219,7 +219,119 @@ WHERE rank <= 3
 """
 
 
+SQ_BUCKETS = 256
+SQ_VMAX_C = 60_000  # fixed domain bound (value ≤ 600.00): streaming sketches
+#                     can't do a min/max pre-pass — the domain is declared
+
+
+def streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed median over a stream via the mergeable HISTOGRAM sketch
+    (`skew.py::quantile_sketch`'s streaming form): state per 6-hour
+    window is ≤256 integer bucket counts — a quantile over a stream
+    cannot keep raw values (unbounded state), and rank sketches don't
+    have an exact-verification story; the fixed-domain histogram has
+    both. The streaming aggregate maintains (window, bucket) counts
+    (watermark evicts closed windows at production scale); the serving
+    epilogue — cumulative walk + interpolation — runs batch-side on the
+    sink table, same split as `streaming_trending`'s rank. Bounds are
+    DECLARED (domain knowledge), not measured: the one structural
+    difference from the batch sketch, and why the bucket expression
+    clamps."""
+    vc = cents(F.col("value"))
+    bucket = F.least(
+        F.lit(SQ_BUCKETS - 1),
+        F.floor(vc * SQ_BUCKETS / (SQ_VMAX_C + 1)),
+    )
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"), bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "stream_quantile"
+    _run_to_completion(agg, name)
+    sink = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "bucket", "cnt"
+    )
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("window_start")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        sink.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+    )
+    totals = sink.groupBy("window_start").agg(F.sum("cnt").alias("n"))
+    width = (SQ_VMAX_C + 1) / SQ_BUCKETS
+    joined = cum.join(totals, "window_start").withColumn(
+        "target", F.floor((F.lit(50) * F.col("n") + 99) / 100)
+    )
+    est = (
+        F.col("bucket") * F.lit(float(width))
+        + (F.col("target") - F.col("prev")).cast("double") / F.col("cnt")
+        * F.lit(float(width))
+    )
+    from ..functions.numeric import ftrunc
+
+    return joined.filter(
+        (F.col("prev") < F.col("target")) & (F.col("cum") >= F.col("target"))
+    ).select(
+        "window_start",
+        "n",
+        "target",
+        "bucket",
+        ftrunc(est / 100.0, 4).alias("p50_estimate"),
+    )
+
+
+STREAMING_QUANTILE_SQL = f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) - INTERVAL (CAST(EXTRACT(hour FROM ts) AS INTEGER) % 6) HOUR
+             AS window_start,
+         LEAST({SQ_BUCKETS - 1},
+               CAST(FLOOR(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                          * {SQ_BUCKETS} / {SQ_VMAX_C + 1}) AS BIGINT)) AS bucket
+  FROM events
+),
+counts AS (
+  SELECT window_start, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY window_start, bucket
+),
+cum AS (
+  SELECT window_start, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY window_start ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+  FROM counts
+),
+totals AS (
+  SELECT window_start, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM counts GROUP BY window_start
+)
+SELECT c.window_start, t.n,
+       CAST(FLOOR((50 * t.n + 99) / 100) AS BIGINT) AS target,
+       c.bucket,
+       FLOOR((c.bucket * {float((SQ_VMAX_C + 1) / SQ_BUCKETS)!r}
+              + CAST(CAST(FLOOR((50 * t.n + 99) / 100) AS BIGINT)
+                     - (c.cum - c.cnt) AS DOUBLE) / c.cnt
+                * {float((SQ_VMAX_C + 1) / SQ_BUCKETS)!r})
+             / 100.0 * 10000.0) / 10000.0 AS p50_estimate
+FROM cum c JOIN totals t ON c.window_start = t.window_start
+WHERE (c.cum - c.cnt) < CAST(FLOOR((50 * t.n + 99) / 100) AS BIGINT)
+  AND c.cum >= CAST(FLOOR((50 * t.n + 99) / 100) AS BIGINT)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_quantile": QuerySpec(
+        streaming_quantile, STREAMING_QUANTILE_SQL,
+        "windowed p50 from streaming histogram sketch + batch serve walk",
+    ),
     "streaming_trending": QuerySpec(
         streaming_trending, STREAMING_TRENDING_SQL,
         "top-3 trending event types per sliding window (stream + serve-rank)",
