@@ -11,6 +11,10 @@ Two modes:
   `domain/seed.py`) into a temp raw zone as CSV, synthesize the matching
   config, and run all three pipelines end-to-end into a parquet warehouse —
   the smoke run the reference's seed + main.py pair performs.
+- ``--query KEY [--sf-dir DIR] [--limit N] [--explain]``: run any
+  registered analytic query from the SURVEY §2 inventory against a table
+  directory and print the result (or its physical plan). ``--list``
+  enumerates the registry.
 
 Prints one JSON line per entity: quality summary + output row count, and a
 final ``{"overall_passed": ...}`` line. Exit code 1 if any gate failed.
@@ -70,9 +74,52 @@ def main(argv: list[str] | None = None) -> int:
                     help="seed demo banking data and run all pipelines")
     ap.add_argument("--warehouse-dir", help="parquet warehouse root "
                     "(default: temp dir)")
+    ap.add_argument("--query", help="run one registered query by key")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory for --query")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max rows to print for --query")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the physical plan instead of rows")
+    ap.add_argument("--list", action="store_true",
+                    help="list registered query keys and exit")
     args = ap.parse_args(argv)
+
+    if args.list:
+        from .registry import all_queries
+
+        for key, spec in sorted(all_queries().items()):
+            print(json.dumps({"key": key, "doc": spec.doc,
+                              "oracle": spec.oracle is not None}))
+        return 0
+
+    if args.query:
+        from pyspark.sql import SparkSession
+
+        from .registry import all_queries
+
+        queries = all_queries()
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; use --list", file=sys.stderr)
+            return 2
+        owns = SparkSession.getActiveSession() is None
+        spark = get_spark(app_name=f"query:{args.query}")
+        try:
+            df = queries[args.query].build(spark, args.sf_dir)
+            if args.explain:
+                from .plans import plan_of
+
+                print(plan_of(df, "simple"))
+            else:
+                for row in df.limit(args.limit).collect():
+                    print(json.dumps(row.asDict(recursive=True), default=str))
+            return 0
+        finally:
+            if owns:
+                spark.stop()
+
     if not args.config and not args.demo:
-        ap.error("one of --config or --demo is required")
+        ap.error("one of --config, --demo, --query or --list is required")
 
     from pyspark.sql import SparkSession
 

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.numeric import cents
 from ..spec import QuerySpec
 
 _ZBITS = 16  # bits kept per dimension; 2·16 = 32-bit Z-value
@@ -247,7 +248,75 @@ FROM binned GROUP BY month, bin
 """
 
 
+def restatement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-targeted BACKFILL, proven as an algebraic law: when a
+    dimension is corrected (here: every 13th customer moves market
+    segment), a naive pipeline recomputes the whole rollup; the scalable
+    restatement recomputes ONLY the months containing facts of affected
+    keys and unions them with the untouched months' existing partials.
+    Spark runs the partial path — affected-month set (distinct months of
+    affected customers' orders, broadcast), anti-join to keep untouched
+    rollup rows, recompute just the affected slice with the corrected
+    dim — and the DuckDB oracle runs the full recompute; hash equality
+    is the proof the two pipelines agree. At 100 TB with month-partitioned
+    facts, the affected-month filter is PARTITION PRUNING on the fact
+    scan: the restatement reads only corrected partitions, O(delta
+    months), never O(history) — the same merge-of-partials algebra as
+    `incremental_agg`, applied to corrections instead of appends."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seg_new = F.when(
+        F.col("c_custkey") % 13 == 0, F.lit("RESTATED")
+    ).otherwise(F.col("c_mktsegment"))
+    dim_old = c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    dim_new = c.select("c_custkey", seg_new.alias("segment"))
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    fact = o.select(
+        month.alias("month"),
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+
+    def rollup(dim: DataFrame, f: DataFrame) -> DataFrame:
+        return (
+            f.join(F.broadcast(dim), f["o_custkey"] == dim["c_custkey"])
+            .groupBy("month", "segment")
+            .agg(
+                F.sum("price_c").alias("revenue_c"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    affected_months = (
+        fact.filter(F.col("o_custkey") % 13 == 0).select("month").distinct()
+    )
+    untouched = rollup(dim_old, fact).join(
+        F.broadcast(affected_months), "month", "anti"
+    )
+    restated = rollup(
+        dim_new, fact.join(F.broadcast(affected_months), "month", "semi")
+    )
+    return untouched.unionByName(restated)
+
+
+RESTATEMENT_PLAN_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CASE WHEN c_custkey % 13 = 0 THEN 'RESTATED' ELSE c_mktsegment END
+           AS segment,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "restatement_plan": QuerySpec(
+        restatement_plan,
+        RESTATEMENT_PLAN_SQL,
+        "partition-targeted backfill ≡ full recompute (algebraic proof)",
+    ),
     "compaction_plan": QuerySpec(
         compaction_plan,
         COMPACTION_PLAN_SQL,

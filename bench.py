@@ -128,6 +128,7 @@ HEADLINE = [
     "set_ops_all",
     "basket_pairs",
     "top_paths",
+    "restatement_plan",
 ]
 
 

@@ -39,6 +39,9 @@ GALLERY: dict[str, str] = {
     "bipartite_rank": "Each power-iteration step = equi-join + group-sum; degree dictionaries broadcast.",
     "bm25_retrieval": "Higher-order-function TFs (no Generate, no Python eval); corpus stats arrive as a broadcast row.",
     "compaction_plan": "Manifest aggregate then per-partition window running sum — plan runs on metadata-sized input.",
+    "restatement_plan": "Affected-month set broadcast into anti (keep untouched) + semi (recompute slice) joins; both rollups broadcast the dim.",
+    "top_paths": "Ordered path prefix via struct-sorted collect_list; two shuffles (user sessions, path counts) + TakeOrdered.",
+    "basket_pairs": "Cap via aggregate + semi join, pair generation a self equi-join on the basket key.",
 }
 
 

@@ -106,3 +106,22 @@ def test_cli_demo_runs_all_pipelines(spark, capsys):
     assert entities == {"customer", "account", "transaction"}
     assert out[-1] == {"overall_passed": True}
     assert all(r["overall_passed"] for r in out if "entity" in r)
+
+
+def test_cli_list_and_query(spark, sf_dir, capsys):
+    """--list enumerates the registry; --query runs one key and prints
+    JSON rows (shares the test session — main() must not stop it)."""
+    import json as _json
+
+    from banking_etl_pipeline_spark.__main__ import main
+
+    assert main(["--list"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    keys = {_json.loads(l)["key"] for l in lines}
+    assert "pricing_summary" in keys and len(keys) > 150
+
+    assert main(["--query", "count_rows", "--sf-dir", sf_dir]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert out and "n_rows" in out[0] or "count" in out[0].lower()
+
+    assert main(["--query", "nope_not_a_key"]) == 2
