@@ -366,6 +366,62 @@ FROM l3 JOIN sizes ON l3.label = sizes.label
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the decision step that completes the dedup
+    pipeline (detect pairs → cluster → CHOOSE WHICH COPY TO KEEP → drop):
+    per near-dup cluster, keep the LONGEST document (ties → smallest
+    doc_id) via one max_by on a zero-padded (n_chars, inverted doc_id)
+    sort key — content-aware survivorship, not the arbitrary min-id
+    shortcut, because curation wants the most complete copy. One
+    aggregate over cluster members + a join-back labels every doc with
+    its survivor and a keep verdict; downstream the kept set is
+    `WHERE keep`. The aggregate shuffles one candidate per (partition,
+    cluster) — cluster count, not doc count, bounds it."""
+    clusters = dup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(docs, "doc_id")
+    key = F.format_string(
+        "%010d:%010d",
+        F.col("n_chars"),
+        F.lit(9_999_999_999) - F.col("doc_id"),
+    )
+    survivors = (
+        members.select("cluster_id", "doc_id", "n_chars", key.alias("k"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", "k").alias("survivor_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    return members.join(survivors, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_doc",
+        (F.col("doc_id") == F.col("survivor_doc")).alias("keep"),
+        "n_chars",
+        "n_members",
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH members AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM ({DUP_CLUSTERS_SQL}) c JOIN documents d USING (doc_id)
+),
+surv AS (
+  SELECT cluster_id,
+         arg_max(doc_id, printf('%010d:%010d', n_chars,
+                                9999999999 - doc_id)) AS survivor_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM members GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id, s.survivor_doc,
+       m.doc_id = s.survivor_doc AS keep,
+       m.n_chars, s.n_members
+FROM members m JOIN surv s ON m.cluster_id = s.cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # bigram language-model score (KenLM-style quality-filter proxy)
 # ---------------------------------------------------------------------------
@@ -814,6 +870,11 @@ QUERIES: dict[str, QuerySpec] = {
         stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         "per-language deterministic hash sample, mixing report",
+    ),
+    "dedup_survivors": QuerySpec(
+        dedup_survivors,
+        DEDUP_SURVIVORS_SQL,
+        "content-aware survivor per near-dup cluster (keep longest)",
     ),
     "dup_clusters": QuerySpec(
         dup_clusters,

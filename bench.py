@@ -129,6 +129,7 @@ HEADLINE = [
     "basket_pairs",
     "top_paths",
     "restatement_plan",
+    "dedup_survivors",
 ]
 
 

@@ -191,3 +191,22 @@ def test_pmi_min_count_and_exact_fraction(spark, sf_dir):
     for r in rows:
         assert r.cab >= PMI_MIN_COUNT
         assert r.score_num > 0 and r.score_den > 0
+
+
+def test_dedup_survivors_one_per_cluster(spark, sf_dir):
+    from collections import defaultdict
+
+    from banking_etl_pipeline_spark.operators.corpus import dedup_survivors
+
+    rows = dedup_survivors(spark, sf_dir).collect()
+    assert rows
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, f"cluster {cid}"
+        k = keepers[0]
+        assert k.doc_id == k.survivor_doc
+        assert all(k.n_chars >= m.n_chars for m in members), "not longest"
+        assert len(members) == members[0].n_members
