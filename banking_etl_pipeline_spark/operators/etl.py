@@ -275,7 +275,59 @@ FROM applied WHERE last_op <> 'D'
 """
 
 
+def late_dim_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling — the ETL decision the reference's
+    orchestrator never makes (a fact row whose dimension hasn't landed
+    yet either crashes the join or silently drops): facts LEFT-join the
+    broadcast dim (here: every 17th customer 'hasn't arrived'), matched
+    rows flow on, unmatched rows are QUARANTINED per month with counts
+    and held revenue — the requeue manifest a scheduler retries after
+    the next dim load. One broadcast left join + one aggregate; the
+    quarantine branch costs nothing extra because the match flag is a
+    column, not a second scan. At 100 TB the quarantine write is a
+    by-month partitioned append, so the retry reads only pending
+    partitions — same pruning story as `restatement_plan`."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    joined = o.select(
+        month.alias("month"),
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    ).join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left")
+    return joined.groupBy(
+        "month", F.col("c_custkey").isNull().alias("quarantined")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_c").alias("revenue_c"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+LATE_DIM_QUARANTINE_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       d.c_custkey IS NULL AS quarantined,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 17 <> 0) d
+  ON o.o_custkey = d.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "late_dim_quarantine": QuerySpec(
+        late_dim_quarantine,
+        LATE_DIM_QUARANTINE_SQL,
+        "left-join quarantine manifest for late-arriving dimensions",
+    ),
     "cdc_apply": QuerySpec(
         cdc_apply,
         CDC_APPLY_SQL,

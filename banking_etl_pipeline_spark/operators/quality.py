@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -577,7 +577,61 @@ GROUP BY event_type
 """
 
 
+DQ_VOLUME_DROP_PCT = 50  # alert when a day arrives with < half of yesterday
+
+
+def dq_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring — the arrival-rate half of pipeline
+    health (dq_freshness is the latency half): daily event counts with
+    day-over-day change, flagging days that arrive with less than half
+    the previous day's volume (the silent-upstream-failure signature:
+    the pipeline 'succeeds' while ingesting a fraction of the data).
+    Counts are one date-truncated aggregate (rollup-sized forever); the
+    day-over-day comparison is a lag() over the daily rollup, and the
+    drop test is exact integer cross-multiplication (n·100 < prev·50) —
+    no float thresholds. The check every orchestrator should run before
+    marking a partition done."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn("prev_events", F.lag("n_events", 1).over(w))
+        .select(
+            "day",
+            "n_events",
+            "prev_events",
+            (
+                F.col("prev_events").isNotNull()
+                & (F.col("n_events") * 100 < F.col("prev_events") * DQ_VOLUME_DROP_PCT)
+            ).alias("volume_alert"),
+        )
+    )
+
+
+DQ_VOLUME_TREND_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT day, n_events,
+       LAG(n_events) OVER (ORDER BY day) AS prev_events,
+       LAG(n_events) OVER (ORDER BY day) IS NOT NULL
+         AND n_events * 100 < LAG(n_events) OVER (ORDER BY day)
+                              * {DQ_VOLUME_DROP_PCT}
+           AS volume_alert
+FROM daily
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_volume_trend": QuerySpec(
+        dq_volume_trend,
+        DQ_VOLUME_TREND_SQL,
+        "day-over-day volume drop alerting over the daily rollup",
+    ),
     "pii_scan": QuerySpec(
         pii_scan,
         PII_SCAN_SQL,

@@ -130,6 +130,8 @@ HEADLINE = [
     "top_paths",
     "restatement_plan",
     "dedup_survivors",
+    "dq_volume_trend",
+    "late_dim_quarantine",
 ]
 
 

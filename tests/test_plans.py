@@ -281,11 +281,14 @@ def test_incremental_agg_partials_merge(spark, sf_dir, queries):
 
 
 def test_table_profile_single_scan(spark, sf_dir, queries):
-    """ANALYZE profiles every column in ONE scan of orders — the multi-
-    count-distinct Expand is allowed, a second FileScan is not."""
+    """ANALYZE profiles every column in ONE scan of orders via the
+    two-phase distinct shape: stack unpivot (Generate/Expand), a
+    (column, value) hash aggregate, then the per-column rollup — a
+    second FileScan is a regression."""
     p = plan_of(_build(queries, spark, sf_dir, "table_profile"))
     assert p.count("orders.parquet") == 1
-    assert "Expand" in p  # exact multi-column count-distinct shape
+    assert "Generate" in p or "Expand" in p  # stack unpivot of the scan
+    assert p.count("HashAggregate") >= 4  # partial+final × two phases
 
 
 def test_gap_fill_spine_from_rollup_not_raw(spark, sf_dir, queries):
