@@ -1108,7 +1108,49 @@ SELECT
 """
 
 
+# One SQL text, two engines: Spark 4.1's WITH RECURSIVE and DuckDB's parse
+# the identical statement — the strongest form of the oracle contract.
+RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain (start_k, k, depth) AS (
+  SELECT c_custkey AS start_k, c_custkey AS k, 0 AS depth
+  FROM customer WHERE c_custkey <= 500
+  UNION ALL
+  SELECT start_k, CAST(FLOOR(k / 2) AS BIGINT), depth + 1
+  FROM chain WHERE k > 1
+),
+ancestry AS (
+  SELECT start_k, CAST(MAX(depth) AS BIGINT) AS chain_depth,
+         CAST(COUNT(*) AS BIGINT) AS n_ancestors
+  FROM chain GROUP BY start_k
+)
+SELECT chain_depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_ancestors) AS BIGINT) AS total_chain_rows
+FROM ancestry GROUP BY chain_depth
+"""
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`) — the iterate-to-
+    fixpoint surface the DataFrame API lacks natively (`dup_clusters`
+    hand-rolls it as fixed join rounds; the SQL door now expresses it
+    declaratively): every customer key walks its halving ancestor chain
+    (k → ⌊k/2⌋, the implicit binary-heap hierarchy) to the root, and
+    the report groups customers by chain depth. The SAME SQL text runs
+    on both engines — the recursion is bounded (≤ ⌈log₂ 500⌉ = 9
+    rounds), and each round is one self-union step over the frontier;
+    at scale the frontier shrinks monotonically, so cost is Σ|frontier|,
+    not rounds × |input| — the loop-until-fixpoint shape graph closures
+    and BOM explosions need."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "recursive_hierarchy": QuerySpec(
+        recursive_hierarchy,
+        RECURSIVE_HIERARCHY_SQL,
+        "WITH RECURSIVE ancestor-chain walk, one SQL text on both engines",
+    ),
     "null_safe_join": QuerySpec(
         null_safe_join,
         NULL_SAFE_JOIN_SQL,

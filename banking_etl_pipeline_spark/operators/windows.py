@@ -1127,7 +1127,96 @@ LIMIT {PATHS_TOP_K}
 """
 
 
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation — match issued units against received
+    units in strict first-in-first-out order, the cost-basis/lot-matching
+    computation warehouses and trading books both need. The classic
+    formulation is a sequential loop; the set-based shape is CUMULATIVE
+    INTERVALS: per part, receipts and issues each get [cum−qty, cum)
+    unit ranges from one running sum (both streams share a single
+    partition sort), and a receipt funds an issue exactly where their
+    unit ranges overlap — matched = min(hi)−max(lo) on overlapping
+    pairs. The pair join is equi on part with the overlap as a residual
+    predicate; per-part pair count is O(lines²) worst case but overlap
+    prunes to O(lines) true matches — at 100 TB band the cumulative
+    ranges (the `range_join` bucketing) to keep candidate generation
+    linear. All unit math is exact integers. Receipts = odd line
+    numbers, issues = even (a deterministic split of lineitem into the
+    two flows)."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor("l_quantity").cast("long").alias("qty"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+    )
+    w = (
+        Window.partitionBy("l_partkey", "is_receipt")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = base.withColumn("hi", F.sum("qty").over(w)).withColumn(
+        "lo", F.col("hi") - F.col("qty")
+    )
+    r = iv.filter("is_receipt").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("lo").alias("rlo"),
+        F.col("hi").alias("rhi"),
+    )
+    i = iv.filter("NOT is_receipt").select(
+        F.col("l_partkey").alias("pk2"),
+        F.col("lo").alias("ilo"),
+        F.col("hi").alias("ihi"),
+    )
+    pairs = r.join(
+        i,
+        (F.col("pk") == F.col("pk2"))
+        & (F.col("rlo") < F.col("ihi"))
+        & (F.col("ilo") < F.col("rhi")),
+    )
+    matched = F.least("rhi", "ihi") - F.greatest("rlo", "ilo")
+    return pairs.groupBy(F.col("pk").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(matched).alias("matched_units"),
+    )
+
+
+FIFO_ALLOCATION_SQL = """
+WITH base AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+         l_linenumber % 2 = 1 AS is_receipt
+  FROM lineitem
+),
+iv AS (
+  SELECT l_partkey, is_receipt, qty,
+         SUM(qty) OVER (PARTITION BY l_partkey, is_receipt
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS hi
+  FROM base
+),
+iv2 AS (SELECT *, hi - qty AS lo FROM iv),
+r AS (SELECT l_partkey AS pk, lo AS rlo, hi AS rhi FROM iv2 WHERE is_receipt),
+i AS (SELECT l_partkey AS pk2, lo AS ilo, hi AS ihi FROM iv2
+      WHERE NOT is_receipt)
+SELECT pk AS l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(LEAST(rhi, ihi) - GREATEST(rlo, ilo)) AS BIGINT)
+           AS matched_units
+FROM r JOIN i ON pk = pk2 AND rlo < ihi AND ilo < rhi
+GROUP BY pk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fifo_allocation": QuerySpec(
+        fifo_allocation,
+        FIFO_ALLOCATION_SQL,
+        "FIFO lot matching via cumulative-interval overlap join",
+    ),
     "top_paths": QuerySpec(
         top_paths,
         TOP_PATHS_SQL,

@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_survivors",
     "dq_volume_trend",
     "late_dim_quarantine",
+    "recursive_hierarchy",
+    "fifo_allocation",
 ]
 
 

@@ -292,3 +292,29 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
             f"FROM '{sf_dir}/lineitem.parquet'"
         ).fetchone()[0]
         assert abs(est - exact) <= width + 0.01, (q, est, exact, width)
+
+
+def test_fifo_allocation_conservation(spark, sf_dir):
+    """Total matched units per part must equal min(total receipts, total
+    issues) — the FIFO conservation law."""
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.windows import fifo_allocation
+
+    li = table(spark, sf_dir, "lineitem")
+    totals = (
+        li.select(
+            "l_partkey",
+            F.floor("l_quantity").cast("long").alias("qty"),
+            (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0)).alias("r"),
+            F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0)).alias("i"),
+        )
+    )
+    got = {r.l_partkey: r.matched_units for r in fifo_allocation(spark, sf_dir).collect()}
+    for t in totals.collect():
+        expect = min(t.r, t.i)
+        if expect > 0:
+            assert got.get(t.l_partkey, 0) == expect, t.l_partkey
