@@ -134,6 +134,7 @@ HEADLINE = [
     "late_dim_quarantine",
     "recursive_hierarchy",
     "fifo_allocation",
+    "variant_extract",
 ]
 
 
