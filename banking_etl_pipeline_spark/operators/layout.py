@@ -311,7 +311,80 @@ GROUP BY 1, 2
 """
 
 
+RANGE_SPLITS = 32
+
+
+def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundaries — the split points a sorted
+    or range-partitioned write needs (`repartitionByRange` computes these
+    by sampling; a layout job computes them exactly from yesterday's
+    data): the k/32 quantiles of the sort key via `percentile_disc`-style
+    DISCRETE selection (an actual data value, integer-exact — no
+    interpolation floats), plus the rows-per-bucket each boundary implies.
+    Equi-depth is what keeps range-partitioned files the SAME SIZE under
+    skew, where equi-width (`zorder_layout`'s uniform buckets) would put
+    90% of rows in one file. The exact form needs a total order (one
+    global row_number sort — fine for a layout job over one table); at
+    100 TB run it over a deterministic hash SAMPLE (`sample_hash`) of
+    ~10⁶ rows, which is exactly how `repartitionByRange` itself derives
+    boundaries. Output is 32 rows of metadata the writer broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    fracs = [i / RANGE_SPLITS for i in range(1, RANGE_SPLITS + 1)]
+    n = li.count()
+    # discrete percentile: value at ceil(q·n) in sort order, via one
+    # percentile_approx-free exact path — row_number over the sort key
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+    ranked = li.select("l_orderkey", "l_linenumber").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    import math
+
+    # ceil on double division: n·i < 2^53 and the divisor is a power of
+    # two, so the division is exact in IEEE double on every engine
+    targets = spark.createDataFrame(
+        [
+            (i, int(math.ceil(n * i / RANGE_SPLITS)))
+            for i in range(1, RANGE_SPLITS + 1)
+        ],
+        "bucket int, target long",
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("rn") == F.col("target")
+        )
+        .select(
+            "bucket",
+            F.col("l_orderkey").alias("split_key"),
+            "target",
+        )
+    )
+
+
+RANGE_SPLIT_POINTS_SQL = f"""
+WITH ranked AS (
+  SELECT l_orderkey,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+targets AS (
+  SELECT b AS bucket,
+         CAST(CEIL(n * b / {RANGE_SPLITS}.0) AS BIGINT) AS target
+  FROM n, LATERAL (SELECT unnest(range(1, {RANGE_SPLITS + 1})) AS b)
+)
+SELECT t.bucket, r.l_orderkey AS split_key, t.target
+FROM ranked r JOIN targets t ON r.rn = t.target
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "range_split_points": QuerySpec(
+        range_split_points,
+        RANGE_SPLIT_POINTS_SQL,
+        "exact equi-depth range-partition boundaries for sorted writes",
+    ),
     "restatement_plan": QuerySpec(
         restatement_plan,
         RESTATEMENT_PLAN_SQL,

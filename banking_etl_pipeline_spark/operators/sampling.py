@@ -330,7 +330,49 @@ GROUP BY o_orderpriority
 """
 
 
+RATE_CAP_PER_DAY = 3
+
+
+def rate_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key-per-window cap (N events per user per day) — the
+    throttling/downsampling primitive that tames chatty keys before they
+    dominate a training mix or a downstream quota (the per-key analog of
+    `stratified_sample`'s per-language rates). Deterministic: rank within
+    (user, day) by (ts, event_id) and keep rank ≤ 3 — first-N-wins, so
+    re-runs and replays keep identical rows, unlike reservoir/random
+    sampling. One shuffle on (user, day); the window state is the rank
+    counter, and at 100 TB the cap bounds every group's OUTPUT while the
+    sort is bounded by the day bucket — skew-proof by construction."""
+    e = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    ranked = e.select(
+        "event_id", "user_id", day.alias("day"), "ts"
+    ).withColumn("rn", F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    ))
+    return ranked.filter(F.col("rn") <= RATE_CAP_PER_DAY).select(
+        "event_id", "user_id", "day", "rn"
+    )
+
+
+RATE_LIMIT_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, day, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {RATE_CAP_PER_DAY}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rate_limit_sample": QuerySpec(
+        rate_limit_sample,
+        RATE_LIMIT_SAMPLE_SQL,
+        "deterministic first-N-per-key-per-day throttling sampler",
+    ),
     "pps_sample": QuerySpec(
         pps_sample, PPS_SAMPLE_SQL,
         "weighted Poisson sample + integer Horvitz-Thompson estimate",

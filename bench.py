@@ -135,6 +135,8 @@ HEADLINE = [
     "recursive_hierarchy",
     "fifo_allocation",
     "variant_extract",
+    "range_split_points",
+    "rate_limit_sample",
 ]
 
 
