@@ -382,7 +382,91 @@ FROM w
 """
 
 
+_RATE_OUT = "event_id long, user_id long, day date, rn int"
+_RATE_STATE = "last_day long, n_day long"
+_RATE_CAP = 3  # must match operators/sampling.RATE_CAP_PER_DAY
+
+
+def _update_rate_limit(key: tuple, pdfs: Iterator[pd.DataFrame],
+                       state: "GroupState") -> Iterator[pd.DataFrame]:
+    """Streaming first-N-per-day throttle: state is (last day seen, count
+    that day) — two longs per user. Each batch sorts its rows, ranks
+    within day via a vectorized cumcount, carries the state count into
+    the first (possibly continued) day, and emits only rows under the
+    cap. Day boundaries reset the counter implicitly (groupby day)."""
+    last_day, n_day = state.get if state.exists else (-1, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    day = (pdf["ts"].astype("int64") // (86_400 * 10**9)).to_numpy()
+    rank_in_batch = pd.Series(range(len(pdf))).groupby(day).cumcount().to_numpy()
+    carry = np.where(day == last_day, n_day, 0)
+    rn = rank_in_batch + 1 + carry
+    if len(day):
+        final_day = int(day[-1])
+        final_count = int((day == final_day).sum()) + (
+            n_day if final_day == last_day else 0
+        )
+        state.update((final_day, final_count))
+    keep = rn <= _RATE_CAP
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy()[keep],
+            "user_id": np.full(int(keep.sum()), key[0], dtype="int64"),
+            "day": pd.to_datetime(day[keep] * 86_400, unit="s").date,
+            "rn": rn[keep].astype("int32"),
+        }
+    )
+
+
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch rate limiter (`sampling.py::rate_limit_sample`) as an
+    ONLINE operator — throttling decisions at arrival time with 16 bytes
+    of state per user, the shape an ingestion edge actually deploys
+    (admit/drop now, not in tomorrow's batch). Emits exactly the batch
+    operator's kept set: the DuckDB oracle is the SAME SQL as the batch
+    query, making this a streaming/batch parity proof — the lambda-
+    architecture equivalence people assert but rarely verify."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_rate_limit,
+            outputStructType=_RATE_OUT,
+            stateStructType=_RATE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_rate_limit"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_RATE_LIMIT_SQL = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, day, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {_RATE_CAP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_rate_limit": QuerySpec(
+        streaming_rate_limit, STREAMING_RATE_LIMIT_SQL,
+        "online first-N-per-day throttle ≡ batch rate limiter (parity proof)",
+    ),
     "streaming_anomaly": QuerySpec(
         streaming_anomaly, STREAMING_ANOMALY_SQL,
         "online per-event anomaly flags via integer running-mean state",

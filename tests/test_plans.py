@@ -438,3 +438,23 @@ def test_basket_pairs_semi_then_equi(spark, sf_dir, queries):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fifo_allocation_equi_join_with_residual(spark, sf_dir, queries):
+    """Overlap matching must ride the part-key equi hash join (overlap as
+    residual) — a pure non-equi pair join would be a nested loop."""
+    p = plan_of(_build(queries, spark, sf_dir, "fifo_allocation"))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_variant_extract_no_python(spark, sf_dir, queries):
+    """VARIANT path extraction stays JVM-side (parse_json/variant_get are
+    codegen'd expressions, not UDFs)."""
+    p = plan_of(_build(queries, spark, sf_dir, "variant_extract"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rate_limit_single_shuffle(spark, sf_dir, queries):
+    """The throttle is one (user, day) window: a single hash exchange."""
+    p = plan_of(_build(queries, spark, sf_dir, "rate_limit_sample"))
+    assert p.count("hashpartitioning(user_id") == 1
