@@ -19,7 +19,7 @@ a 100 TB deployment needs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1372,7 +1372,79 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+def monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance reporting staple: monthly revenue with month-over-month
+    delta, same-month-last-year comparison (lag 12 on the month sequence),
+    and trailing-3-month total — all three windows over the MONTHLY ROLLUP
+    (≤ months rows forever), so the only raw pass is the one aggregate.
+    The calendar trap is handled by keying the lag on a dense month
+    NUMBER (year·12+month) rather than row position: a month with zero
+    orders would silently shift a positional lag; here missing months
+    surface as null comparisons instead of wrong ones (the rollup is
+    dense for this data, but the key choice is the defensive pattern).
+    Deltas are exact integer cents; the single tiny window sort is the
+    serving epilogue."""
+    o = table(spark, sf_dir, "orders")
+    mn = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mn")
+    monthly = (
+        o.select(mn, cents(F.col("o_totalprice")).alias("price_c"))
+        .groupBy("mn")
+        .agg(
+            F.sum("price_c").alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("mn")
+    prev = F.lag("revenue_c", 1).over(w)
+    # value only when the previous calendar month is truly adjacent
+    prev_mn = F.lag("mn", 1).over(w)
+    yoy_src = F.lag("revenue_c", 12).over(w)
+    yoy_mn = F.lag("mn", 12).over(w)
+    t3 = F.sum("revenue_c").over(w.rowsBetween(-2, 0))
+    return monthly.select(
+        F.floor(F.col("mn") / 12).cast("int").alias("year"),
+        (F.col("mn") % 12 + 1).alias("month"),
+        "revenue_c",
+        "n_orders",
+        F.when(prev_mn == F.col("mn") - 1, F.col("revenue_c") - prev).alias(
+            "mom_delta_c"
+        ),
+        F.when(yoy_mn == F.col("mn") - 12, F.col("revenue_c") - yoy_src).alias(
+            "yoy_delta_c"
+        ),
+        t3.alias("trailing_3m_c"),
+    )
+
+
+MONTHLY_TREND_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mn,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(FLOOR(mn / 12) AS INTEGER) AS year,
+       CAST(mn % 12 + 1 AS BIGINT) AS month,
+       revenue_c, n_orders,
+       CASE WHEN LAG(mn) OVER w = mn - 1
+            THEN revenue_c - LAG(revenue_c) OVER w END AS mom_delta_c,
+       CASE WHEN LAG(mn, 12) OVER w = mn - 12
+            THEN revenue_c - LAG(revenue_c, 12) OVER w END AS yoy_delta_c,
+       CAST(SUM(revenue_c) OVER (ORDER BY mn
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_3m_c
+FROM monthly
+WINDOW w AS (ORDER BY mn)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "monthly_trend": QuerySpec(
+        monthly_trend,
+        MONTHLY_TREND_SQL,
+        "MoM/YoY/trailing-3m report over the monthly rollup, dense-key lags",
+    ),
     "basket_pairs": QuerySpec(
         basket_pairs,
         BASKET_PAIRS_SQL,

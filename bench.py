@@ -137,6 +137,7 @@ HEADLINE = [
     "variant_extract",
     "range_split_points",
     "rate_limit_sample",
+    "monthly_trend",
 ]
 
 
