@@ -634,7 +634,108 @@ FROM embeddings
 """
 
 
+GRAM_Q = 10_000  # embedding quantization: q = floor(x·10⁴ + 0.5), |q| ≤ ~10⁴
+
+
+def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram/second-moment matrix of the embedding corpus in ONE
+    pass — the 64×64 summary PCA, whitening, and covariance-based
+    drift detection all start from. Embeddings quantize to integers
+    (×10⁴), each exploded (dim i, qᵢ) row carries the FULL vector
+    alongside, and 64 sum-aggregates per i build row Gᵢ — so the
+    shuffle moves 64-long partial buffers per (partition, i), never the
+    64× self-join of exploded pairs (that plan is 64× bigger and its
+    float sums would be order-dependent; integer sums are exact and
+    mergeable across shards/days like every sufficient statistic in
+    this engine). Overflow headroom documented: |Σqᵢqⱼ| ≤ 10⁸·rows →
+    int64-safe to ~10¹⁰ vectors. Output per dimension: the diagonal
+    (energy), the unnormalized first power-iteration step v₁ = G·1
+    (exact ints — further iterations are driver-side math on this
+    64×64 metadata), and the strongest off-diagonal coupling."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def q(col):
+        # float32 storage → double BEFORE the scale, or the float multiply
+        # rounds differently than the oracle's double path
+        return F.floor(col.cast("double") * GRAM_Q + 0.5).cast("long")
+
+    rows = e.select(
+        F.posexplode(F.col("embedding")).alias("i", "xi"),
+        F.col("embedding").alias("emb"),
+    ).select("i", q(F.col("xi")).alias("qi"), "emb")
+    sums = [
+        F.sum(F.col("qi") * q(F.element_at(F.col("emb"), j + 1))).alias(f"g{j}")
+        for j in range(EMBED_DIM)
+    ]
+    g = rows.groupBy("i").agg(*sums)
+    gcols = [F.col(f"g{j}") for j in range(EMBED_DIM)]
+    v1 = sum(gcols[1:], gcols[0])
+    off = F.array_max(
+        F.array(
+            *[
+                F.when(F.lit(j) != F.col("i"), F.abs(F.col(f"g{j}")))
+                for j in range(EMBED_DIM)
+            ]
+        )
+    )
+    return g.select(
+        F.col("i").alias("dim"),
+        F.element_at(
+            F.array(*gcols), F.col("i").cast("int") + 1
+        ).alias("g_diag"),
+        v1.alias("v1"),
+        off.alias("g_max_off"),
+    )
+
+
+def _gram_sql() -> str:
+    qx = "CAST(FLOOR(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT)".format(
+        q=GRAM_Q
+    )
+    qj = (
+        "CAST(FLOOR(CAST(emb[{j}] AS DOUBLE) * "
+        + str(GRAM_Q)
+        + " + 0.5) AS BIGINT)"
+    )
+    sums = ",\n         ".join(
+        f"CAST(SUM({qx.replace('x', 'xi')} * {qj.format(j=j + 1)}) AS BIGINT)"
+        f" AS g{j}"
+        for j in range(EMBED_DIM)
+    )
+    gl = [f"g{j}" for j in range(EMBED_DIM)]
+    v1 = " + ".join(gl)
+    off = ", ".join(
+        f"CASE WHEN {j} <> i THEN abs(g{j}) END" for j in range(EMBED_DIM)
+    )
+    diag = ", ".join(gl)
+    return f"""
+WITH rows_ AS (
+  SELECT i - 1 AS i, emb[i] AS xi, emb
+  FROM (SELECT embedding AS emb FROM embeddings),
+       LATERAL (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i)
+),
+g AS (
+  SELECT i,
+         {sums}
+  FROM rows_ GROUP BY i
+)
+SELECT CAST(i AS INTEGER) AS dim,
+       [{diag}][CAST(i AS INTEGER) + 1] AS g_diag,
+       CAST({v1} AS BIGINT) AS v1,
+       CAST(list_max([{off}]) AS BIGINT) AS g_max_off
+FROM g
+"""
+
+
+GRAM_MATRIX_SQL = _gram_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "gram_matrix": QuerySpec(
+        gram_matrix,
+        GRAM_MATRIX_SQL,
+        "one-pass exact 64×64 embedding Gram matrix + power step",
+    ),
     "embedding_quantize": QuerySpec(
         embedding_quantize,
         EMBEDDING_QUANTIZE_SQL,

@@ -138,6 +138,7 @@ HEADLINE = [
     "range_split_points",
     "rate_limit_sample",
     "monthly_trend",
+    "gram_matrix",
 ]
 
 

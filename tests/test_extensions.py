@@ -318,3 +318,28 @@ def test_fifo_allocation_conservation(spark, sf_dir):
         expect = min(t.r, t.i)
         if expect > 0:
             assert got.get(t.l_partkey, 0) == expect, t.l_partkey
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """Independent check: the one-pass Gram matrix equals numpy's
+    Q.T @ Q on the quantized embedding matrix, per dimension."""
+    import numpy as np
+
+    from banking_etl_pipeline_spark.catalog import table
+    from banking_etl_pipeline_spark.operators.similarity import (
+        GRAM_Q,
+        gram_matrix,
+    )
+
+    rows = table(spark, sf_dir, "embeddings").select("embedding").collect()
+    q = np.floor(
+        np.array([r.embedding for r in rows], dtype="float64") * GRAM_Q + 0.5
+    ).astype("int64")
+    G = q.T @ q
+    v1 = G.sum(axis=1)
+    got = {r.dim: r for r in gram_matrix(spark, sf_dir).collect()}
+    for i in range(q.shape[1]):
+        assert got[i].g_diag == G[i, i]
+        assert got[i].v1 == v1[i]
+        off = np.abs(np.delete(G[i], i)).max()
+        assert got[i].g_max_off == off
