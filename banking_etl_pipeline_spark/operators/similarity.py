@@ -730,7 +730,82 @@ FROM g
 GRAM_MATRIX_SQL = _gram_sql()
 
 
+DRIFT_THRESHOLD_Q = 500  # flag when |mean_a − mean_b| > 0.05 in raw units
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices (reference
+    vs candidate batch, here split by vec_id parity) — the monitoring
+    gate that catches a broken encoder or a shifted upstream corpus
+    before it poisons retrieval/nearest-neighbor serving. Per dimension:
+    exact integer sums and counts per slice, and the drift verdict
+    |mean_a − mean_b| > τ decided by CROSS-MULTIPLICATION
+    (|Σa·n_b − Σb·n_a| > τ·n_a·n_b) so no division ever happens —
+    exact, replayable, mergeable (the per-slice sums add across shards
+    like every sufficient statistic here). One posexplode pass + one
+    64×2-group aggregate; at 100 TB this is the cheap daily job next to
+    `gram_matrix`'s weekly one."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = e.select(
+        (F.col("vec_id") % 2 == 0).alias("slice_a"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "slice_a",
+        "dim",
+        F.floor(F.col("x").cast("double") * GRAM_Q + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    agg = rows.groupBy("dim").agg(
+        F.sum(F.when(F.col("slice_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("slice_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("slice_a"), F.col("q")).otherwise(0)).alias("sum_a"),
+        F.sum(F.when(~F.col("slice_a"), F.col("q")).otherwise(0)).alias("sum_b"),
+    )
+    cross = F.abs(
+        F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a")
+    )
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        (cross > F.lit(DRIFT_THRESHOLD_Q) * F.col("n_a") * F.col("n_b")).alias(
+            "drifted"
+        ),
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH rows_ AS (
+  SELECT vec_id % 2 = 0 AS slice_a, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {GRAM_Q} + 0.5) AS BIGINT)
+             AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i)
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(SUM(CASE WHEN slice_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN NOT slice_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN slice_a THEN q ELSE 0 END) AS BIGINT) AS sum_a,
+       CAST(SUM(CASE WHEN NOT slice_a THEN q ELSE 0 END) AS BIGINT) AS sum_b,
+       abs(SUM(CASE WHEN slice_a THEN q ELSE 0 END)
+           * SUM(CASE WHEN NOT slice_a THEN 1 ELSE 0 END)
+           - SUM(CASE WHEN NOT slice_a THEN q ELSE 0 END)
+             * SUM(CASE WHEN slice_a THEN 1 ELSE 0 END))
+         > {DRIFT_THRESHOLD_Q}
+           * SUM(CASE WHEN slice_a THEN 1 ELSE 0 END)
+           * SUM(CASE WHEN NOT slice_a THEN 1 ELSE 0 END) AS drifted
+FROM rows_ GROUP BY dim
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_drift": QuerySpec(
+        embedding_drift,
+        EMBEDDING_DRIFT_SQL,
+        "per-dim drift verdicts via cross-multiplied exact sums",
+    ),
     "gram_matrix": QuerySpec(
         gram_matrix,
         GRAM_MATRIX_SQL,

@@ -139,6 +139,7 @@ HEADLINE = [
     "rate_limit_sample",
     "monthly_trend",
     "gram_matrix",
+    "embedding_drift",
 ]
 
 
