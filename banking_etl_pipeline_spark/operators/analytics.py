@@ -1439,7 +1439,84 @@ WINDOW w AS (ORDER BY mn)
 """
 
 
+RFM_AS_OF = "2024-02-01"  # fixed analysis date (events end 2024-01-30)
+
+
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring — the feature-engineering staple of customer analytics
+    (recency/frequency/monetary quintiles feeding churn models and
+    campaign segmentation). One pass over events builds the three
+    per-user metrics (purchase events only: days-since-last vs a FIXED
+    as-of date, distinct active purchase days, cents sum); three ntile(5)
+    windows assign quintile scores — each ordered with the user_id
+    tie-break, because ntile's bucket boundaries are only deterministic
+    under a TOTAL order (the canonical nondeterminism bug in every
+    hand-rolled RFM job). Segment = concatenated digits. The windows are
+    global but run over the PER-USER rollup (|users| rows), never raw
+    events; at 100 TB that is still a driver-sized relation, or swap
+    ntile for fixed quantile boundaries from `quantile_sketch`."""
+    e = table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(RFM_AS_OF).cast("date"), F.max(F.col("ts").cast("date"))
+            ).alias("recency_days"),
+            F.count_distinct(F.col("ts").cast("date")).alias("frequency"),
+            F.sum(cents(F.col("value"))).alias("monetary_c"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary_c").asc(), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+RFM_FEATURES_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(DATE '{RFM_AS_OF}' - MAX(CAST(ts AS DATE)) AS INTEGER)
+             AS recency_days,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS monetary_c
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_c,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INTEGER)
+           AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INTEGER)
+           AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_c ASC, user_id) AS INTEGER)
+           AS m_score,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY monetary_c ASC, user_id) AS VARCHAR)
+           AS segment
+FROM per_user
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rfm_features": QuerySpec(
+        rfm_features,
+        RFM_FEATURES_SQL,
+        "RFM quintile scoring with total-order ntile determinism",
+    ),
     "monthly_trend": QuerySpec(
         monthly_trend,
         MONTHLY_TREND_SQL,

@@ -830,7 +830,74 @@ LIMIT {PMI_TOP_K}
 """
 
 
+HASH_DIM = 1024  # feature-hashing target dimensionality
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — fixed-dimensional sparse bag-of-words without a
+    vocabulary: every token maps to bucket md5(token) % 1024, per-doc
+    bucket counts ARE the feature vector. No dictionary build, no
+    broadcast, no OOV problem — which is why it's the vectorizer that
+    survives streaming and 100 TB corpora (Vowpal Wabbit / scikit
+    HashingVectorizer lineage). One explode + one (doc, bucket) hash
+    aggregate; the per-doc summary (non-zeros, L1, exact L2², heaviest
+    bucket) is what the oracle checks — a production pipeline writes the
+    (doc, bucket, count) triples themselves as the sparse matrix.
+    Collisions are the accepted trade (1024 buckets × ~200-token vocab
+    here ≈ rare); integer counts keep every statistic exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    buckets = toks.select(
+        "doc_id",
+        (md5_long(F.concat(F.lit("fh:"), F.col("tok"))) % HASH_DIM).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = buckets.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    key = F.format_string(
+        "%010d:%010d", F.col("c"), F.lit(10**9) - F.col("bucket")
+    )
+    return per_bucket.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("c").alias("l1"),
+        F.sum(F.col("c") * F.col("c")).alias("l2_sq"),
+        F.max_by("bucket", key).alias("top_bucket"),
+        F.max("c").alias("top_count"),
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+WITH buckets AS (
+  SELECT doc_id,
+         {sql_md5_long("'fh:' || tok")} % {HASH_DIM} AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+per_bucket AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM buckets GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(c) AS BIGINT) AS l1,
+       CAST(SUM(c * c) AS BIGINT) AS l2_sq,
+       arg_max(bucket, printf('%010d:%010d', c, 1000000000 - bucket))
+           AS top_bucket,
+       CAST(MAX(c) AS BIGINT) AS top_count
+FROM per_bucket GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_hashing": QuerySpec(
+        feature_hashing,
+        FEATURE_HASHING_SQL,
+        "hashing-trick sparse vectorizer, per-doc exact sparse stats",
+    ),
     "bm25_retrieval": QuerySpec(
         bm25_retrieval,
         BM25_RETRIEVAL_SQL,

@@ -140,6 +140,8 @@ HEADLINE = [
     "monthly_trend",
     "gram_matrix",
     "embedding_drift",
+    "rfm_features",
+    "feature_hashing",
 ]
 
 
