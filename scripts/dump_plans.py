@@ -42,6 +42,9 @@ GALLERY: dict[str, str] = {
     "restatement_plan": "Affected-month set broadcast into anti (keep untouched) + semi (recompute slice) joins; both rollups broadcast the dim.",
     "top_paths": "Ordered path prefix via struct-sorted collect_list; two shuffles (user sessions, path counts) + TakeOrdered.",
     "basket_pairs": "Cap via aggregate + semi join, pair generation a self equi-join on the basket key.",
+    "gram_matrix": "64 sum-aggregates per dimension over one posexplode pass — shuffle carries 64-long partial buffers, never exploded pairs.",
+    "table_profile": "Two-phase distinct: stack unpivot → (column, value) hash aggregate → per-column rollup; one FileScan.",
+    "monthly_trend": "All three windows over the monthly rollup; single raw-data aggregate feeds MoM/YoY/trailing-3m.",
 }
 
 
