@@ -15,13 +15,12 @@ Scale design:
   narrow map + one small aggregate; reproducible under any repartitioning,
   unlike df.sample/TABLESAMPLE (partition-layout dependent).
 - dup_clusters: label propagation (hash-min) over the symmetric LSH pair
-  graph, FIXED 3 iterations = min label within a 3-hop neighborhood. Each
-  iteration is one equi-join + one min-aggregate over the edge list (both
-  shuffles on vertex id). At 100 TB you loop the same two-shuffle step to a
-  fixpoint (labels stop changing — check via a cheap count on
-  label!=prev_label) instead of a fixed count; near-dup cluster diameters are
-  tiny, so 3 hops is the practical fixpoint and keeps the DuckDB oracle
-  expressible as three nested join CTEs.
+  graph iterated to CONVERGENCE — each round is one equi-join + one
+  min-aggregate over the persisted edge list (both shuffles on vertex id),
+  and a 1-row sum(label) aggregate per round detects the fixpoint (labels
+  are monotone non-increasing). Rounds = component diameter; the DuckDB
+  oracle is exact connected components via a recursive reachability CTE, so
+  an under-iterated Spark result can't hide behind a lockstepped oracle.
 
 No reference counterpart (the reference has no corpus layer); the pattern
 follows the public MinHash/label-propagation literature (PAPERS.md).
@@ -36,7 +35,7 @@ from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
 from ..functions.numeric import ftrunc, sql_ftrunc
 from ..spec import QuerySpec
-from .dedup import DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
+from .dedup import DEDUP_MINHASH_LSH_SQL, minhash_lsh_cached
 from .text import tokens
 
 TOP_TERMS_K = 3
@@ -46,7 +45,8 @@ REPETITION_TOP_BIGRAM_MAX = 0.05  # flag docs whose modal bigram exceeds 5%
 STRATA_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40}
 STRATA_DEFAULT_RATE = 25
 STRATA_SEED = 7
-CC_ITERATIONS = 3
+CC_ITERATIONS = 3       # bounded-hop primitive (propagate_min_labels)
+CC_MAX_ITERATIONS = 50  # fixpoint runaway backstop, not a semantic bound
 
 
 # ---------------------------------------------------------------------------
@@ -278,17 +278,13 @@ FROM b GROUP BY lang, source
 # ---------------------------------------------------------------------------
 
 
-def propagate_min_labels(
-    pairs: DataFrame, iterations: int = CC_ITERATIONS
-) -> DataFrame:
-    """Hash-min label propagation over an undirected pair list
-    (columns doc_a, doc_b) → (v, label) with label = min vertex id within
-    `iterations` hops. Each iteration = one equi-join + one min-aggregate.
-    """
-    # persist the symmetric edge list: every downstream consumer (verts,
-    # adj, each propagation round) re-derives the expensive LSH pair stage
-    # otherwise — this persist is the edge-list materialization a cluster
-    # job would also do once
+def _edge_graph(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc_a, doc_b) pair list → (verts, adj) with self-loops, persisted.
+
+    The symmetric edge list is persisted: every downstream consumer (verts,
+    adj, each propagation round) re-derives the expensive LSH pair stage
+    otherwise — this persist is the edge-list materialization a cluster job
+    would also do once."""
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -300,29 +296,81 @@ def propagate_min_labels(
     adj = sym.unionByName(
         verts.select(F.col("v").alias("src"), F.col("v").alias("dst"))
     ).persist()
+    return verts, adj
+
+
+def _propagation_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min round: label(v) ← min over N(v) ∪ {v} of prior labels.
+    One equi-join + one min-aggregate."""
+    return (
+        adj.join(
+            labels.select(F.col("v").alias("u"), "label"),
+            F.col("dst") == F.col("u"),
+        )
+        .groupBy("src")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("src").alias("v"), "label")
+    )
+
+
+def propagate_min_labels(
+    pairs: DataFrame, iterations: int = CC_ITERATIONS
+) -> DataFrame:
+    """Fixed-round hash-min label propagation over an undirected pair list
+    (columns doc_a, doc_b) → (v, label) with label = min vertex id within
+    `iterations` hops. The bounded-hop primitive; `propagate_to_fixpoint`
+    is the converged connected-components driver `dup_clusters` uses."""
+    verts, adj = _edge_graph(pairs)
     labels = verts.select("v", F.col("v").alias("label"))
     for _ in range(iterations):
-        labels = (
-            adj.join(
-                labels.select(F.col("v").alias("u"), "label"),
-                F.col("dst") == F.col("u"),
-            )
-            .groupBy("src")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("src").alias("v"), "label")
-        )
+        labels = _propagation_round(adj, labels)
+    return labels
+
+
+def propagate_to_fixpoint(
+    pairs: DataFrame, max_iterations: int = CC_MAX_ITERATIONS
+) -> DataFrame:
+    """Hash-min label propagation iterated to CONVERGENCE (VERDICT r1
+    item 3: a fixed 3-round pass only labels components of diameter ≤ 3).
+
+    Labels are monotone non-increasing (each round takes a min that
+    includes the vertex's own prior label via the self-loop), so
+    sum(label) strictly decreases until the fixpoint — one cheap 1-row
+    aggregate per round is the convergence test, exactly the per-superstep
+    "voteToHalt" check of a Pregel runtime. Each round's labels are
+    materialized via eager `localCheckpoint`, which TRUNCATES LINEAGE:
+    with persist alone the data is cached but the logical plan still nests
+    every prior round, and each downstream action pays seconds of
+    driver-side re-analysis of the N-round plan tree (measured 1.4 s on a
+    519-row cached result) — the classic iterative-algorithm plan blowup.
+    On a real cluster swap localCheckpoint for reliable `checkpoint` (a
+    checkpoint dir survives executor loss); semantics are identical.
+    Rounds needed = graph diameter (min labels travel one hop per round);
+    `max_iterations` is a runaway backstop, not a semantic bound. At
+    fixpoint label(v) = min vertex id of v's connected component."""
+    verts, adj = _edge_graph(pairs)
+    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+    prev_sum = (labels.agg(F.sum("label").alias("s")).collect()[0]["s"]) or 0
+    for _ in range(max_iterations):
+        labels = _propagation_round(adj, labels).localCheckpoint()
+        cur_sum = (labels.agg(F.sum("label").alias("s")).collect()[0]["s"]) or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every LSH-near-duplicate doc to a cluster: hash-min label
-    propagation over the symmetric pair graph, 3 iterations (see module doc).
-    cluster_id = min doc_id within 3 hops; cluster_size = docs sharing it.
-    Downstream, a curation pass keeps one representative (min doc_id) per
-    cluster — exactly what `cluster_id == doc_id` selects.
+    propagation over the symmetric pair graph iterated to convergence, so
+    cluster_id = min doc_id of the full connected component regardless of
+    its diameter. cluster_size = docs sharing it. Downstream, a curation
+    pass keeps one representative (min doc_id) per cluster — exactly what
+    `cluster_id == doc_id` selects. The pair stage is the session-cached
+    LSH output (`dedup.minhash_lsh_cached`) shared with `dedup_survivors`.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = propagate_min_labels(pairs)
+    pairs = minhash_lsh_cached(spark, sf_dir).select("doc_a", "doc_b")
+    labels = propagate_to_fixpoint(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("v").alias("doc_id"),
@@ -331,15 +379,30 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_cc_iter(prev: str, cur: str) -> str:
-    return (
-        f"{cur} AS (SELECT a.src AS v, MIN(l.label) AS label "
-        f"FROM adj a JOIN {prev} l ON a.dst = l.v GROUP BY a.src)"
-    )
+# Session-scoped cache of the converged cluster assignment (same pattern and
+# rationale as dedup._LSH_CACHE): dup_clusters and dedup_survivors share the
+# fixpoint-propagation result when one session runs both.
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def dup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _CLUSTERS_CACHE if k[0] != app]:
+        del _CLUSTERS_CACHE[stale]
+    key = (app, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = dup_clusters(spark, sf_dir).persist()
+    return _CLUSTERS_CACHE[key]
+
+
+# Oracle: exact connected components via recursive reachability — reach(v)
+# enumerates every vertex r reachable from v (UNION dedups, so the recursion
+# terminates), and MIN(r) per v is the component-min label, which is exactly
+# the fixpoint of hash-min propagation on a symmetric graph. No iteration
+# count appears on either side, so the oracle can no longer mask an
+# under-iterated Spark result (the r1 parity blind spot).
 DUP_CLUSTERS_SQL = f"""
-WITH pairs AS (
+WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL}) z
 ),
 sym AS (
@@ -348,21 +411,19 @@ sym AS (
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 verts AS (SELECT DISTINCT src AS v FROM sym),
-adj AS (
-  SELECT src, dst FROM sym
-  UNION ALL
-  SELECT v AS src, v AS dst FROM verts
+reach(v, r) AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT s.src AS v, reach.r
+  FROM sym s JOIN reach ON s.dst = reach.v
 ),
-l0 AS (SELECT v, v AS label FROM verts),
-{_sql_cc_iter('l0', 'l1')},
-{_sql_cc_iter('l1', 'l2')},
-{_sql_cc_iter('l2', 'l3')},
+labels AS (SELECT v, MIN(r) AS label FROM reach GROUP BY v),
 sizes AS (
   SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
-  FROM l3 GROUP BY label
+  FROM labels GROUP BY label
 )
-SELECT l3.v AS doc_id, l3.label AS cluster_id, sizes.cluster_size
-FROM l3 JOIN sizes ON l3.label = sizes.label
+SELECT labels.v AS doc_id, labels.label AS cluster_id, sizes.cluster_size
+FROM labels JOIN sizes ON labels.label = sizes.label
 """
 
 
@@ -377,7 +438,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     its survivor and a keep verdict; downstream the kept set is
     `WHERE keep`. The aggregate shuffles one candidate per (partition,
     cluster) — cluster count, not doc count, bounds it."""
-    clusters = dup_clusters(spark, sf_dir)
+    clusters = dup_clusters_cached(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = clusters.join(docs, "doc_id")
     key = F.format_string(
@@ -733,17 +794,23 @@ BM25_RETRIEVAL_SQL = _bm25_sql()
 
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 20
+# Keep-exact-int64 threshold for PMI score fractions: well under 2^63-1
+# (9.223e18) so the double-precision product comparison (rel. err < 4.5e-16)
+# decides identically in Spark and DuckDB, and neither engine's exact int64
+# product can overflow when the guard passes.
+PMI_INT_SAFE = 9.0e18
 
 
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k collocations by pointwise mutual information — the phrase
     detector (word2vec-phrases / vocabulary induction) over the corpus.
-    PMI = log(c_ab·Nu² / (Nb·c_a·c_b)) is MONOTONE in the exact rational
-    c_ab·Nu² / (Nb·c_a·c_b), so ranking never touches floats: score
-    numerator and denominator stay int64 end-to-end (bounds documented:
-    Nu² ≈ 10¹² at sf0.1 × c_ab keeps well under 2⁶³ for min-count-filtered
-    pairs; at larger corpora switch both factors to ratios of doubles or
-    DECIMAL(38)). One bigram explode feeds BOTH the pair counts and (via
+    PMI = log(c_ab·Nu² / (Nb·c_a·c_b)) is MONOTONE in the rational
+    c_ab·Nu² / (Nb·c_a·c_b). Ranking uses the IEEE-double ratio with the
+    multiply/divide order mirrored exactly in the oracle (bit-identical
+    cross-engine); the exact int64 numerator/denominator are emitted only
+    when a guarded product provably fits in int64 (else NULL), so the query
+    cannot silently wrap at corpus scales where Nu² · c_ab exceeds 2⁶³.
+    One bigram explode feeds BOTH the pair counts and (via
     the unigram stream) the word counts — two hash aggregates + two
     broadcast-joins of count dictionaries, then TakeOrdered top-k on the
     exact fraction (cross-engine identical double only for the final
@@ -778,11 +845,30 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat_ws(" ", "a", "b").alias("bigram"),
             "cab",
-            (F.col("cab") * F.col("nu") * F.col("nu")).alias("score_num"),
-            (F.col("nb") * F.col("ca") * F.col("cb")).alias("score_den"),
+            # Rank by the IEEE-double ratio (identical mult/div order in the
+            # oracle → bit-identical cross-engine); keep the exact int64
+            # fraction only when it provably fits (ADVICE r1: cab·nu² can
+            # overflow int64 at larger corpora — Spark wraps silently while
+            # DuckDB errors, an asymmetric parity break). PMI_INT_SAFE has a
+            # >200-ulp margin below 2^63-1, so the double-vs-int comparison
+            # can never disagree across engines.
+            ((F.col("cab").cast("double") * F.col("nu")) * F.col("nu"))
+            .alias("num_d"),
+            ((F.col("nb").cast("double") * F.col("ca")) * F.col("cb"))
+            .alias("den_d"),
+            F.when(
+                (F.col("cab").cast("double") * F.col("nu")) * F.col("nu")
+                < F.lit(PMI_INT_SAFE),
+                F.col("cab") * F.col("nu") * F.col("nu"),
+            ).cast("long").alias("score_num"),
+            F.when(
+                (F.col("nb").cast("double") * F.col("ca")) * F.col("cb")
+                < F.lit(PMI_INT_SAFE),
+                F.col("nb") * F.col("ca") * F.col("cb"),
+            ).cast("long").alias("score_den"),
         )
     )
-    ratio = F.col("score_num").cast("double") / F.col("score_den")
+    ratio = F.col("num_d") / F.col("den_d")
     return (
         scored.orderBy(ratio.desc(), F.col("bigram").asc())
         .limit(PMI_TOP_K)
@@ -815,17 +901,21 @@ bg_counts AS (
 n_bg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bigrams),
 scored AS (
   SELECT g.a || ' ' || g.b AS bigram, g.cab,
-         g.cab * nu * nu AS score_num,
-         nb * ua.cw * ub.cw AS score_den
+         (CAST(g.cab AS DOUBLE) * nu) * nu AS num_d,
+         (CAST(nb AS DOUBLE) * ua.cw) * ub.cw AS den_d,
+         CAST(CASE WHEN (CAST(g.cab AS DOUBLE) * nu) * nu < {PMI_INT_SAFE!r}
+                   THEN g.cab * nu * nu END AS BIGINT) AS score_num,
+         CAST(CASE WHEN (CAST(nb AS DOUBLE) * ua.cw) * ub.cw < {PMI_INT_SAFE!r}
+                   THEN nb * ua.cw * ub.cw END AS BIGINT) AS score_den
   FROM bg_counts g
   JOIN uni_counts ua ON g.a = ua.w
   JOIN uni_counts ub ON g.b = ub.w
   CROSS JOIN n_uni CROSS JOIN n_bg
 )
 SELECT bigram, cab, score_num, score_den,
-       {sql_ftrunc("(CAST(score_num AS DOUBLE) / score_den)", 6)} AS pmi_ratio
+       {sql_ftrunc("(num_d / den_d)", 6)} AS pmi_ratio
 FROM scored
-ORDER BY CAST(score_num AS DOUBLE) / score_den DESC, bigram ASC
+ORDER BY num_d / den_d DESC, bigram ASC
 LIMIT {PMI_TOP_K}
 """
 
@@ -944,7 +1034,7 @@ QUERIES: dict[str, QuerySpec] = {
         "content-aware survivor per near-dup cluster (keep longest)",
     ),
     "dup_clusters": QuerySpec(
-        dup_clusters,
+        dup_clusters_cached,
         DUP_CLUSTERS_SQL,
         "connected components (3-iter hash-min) over LSH near-dup pairs",
     ),

@@ -1,10 +1,11 @@
 """Driver-visible queries for the ETL surface: the staged-upsert merge
 (K3, `readshift_loader.py:68-149`) expressed as a pure oracled query, and the
-full banking transaction transform chain (clean→enrich→metrics→anomalies,
-`transaction_transform.py:22-179`) over the deterministic distributed seed as
-a rows-only check (its input is generated, not a driver table, so there is no
-SQL oracle for it — correctness is covered by tests/test_banking_pipeline.py's
-hand-computed expectations).
+banking transaction transform chain (clean→enrich→metrics,
+`transaction_transform.py:22-135`) over the deterministic distributed seed,
+reduced to a cents-exact per-type bit_xor digest whose DuckDB oracle replays
+the seed AND the whole chain (the anomaly stage's double-stddev flags stay
+under tests/test_banking_pipeline.py's hand-computed expectations instead —
+sample stddev of doubles is reassociation-sensitive across engines).
 """
 
 from __future__ import annotations
@@ -14,8 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..domain.seed import seed_all
-from ..functions.numeric import cents
-from ..domain.transactions import transform_transactions
+from ..functions.numeric import cents, sql_cents
 from ..sinks.writers import merge_upsert as _merge
 from ..spec import QuerySpec
 
@@ -199,10 +199,243 @@ GROUP BY 1
 
 
 def banking_txn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seed (deterministic, distributed) → full transaction transform chain."""
+    """Seed → clean → enrich → metrics, reduced to a cents-exact digest
+    (VERDICT r1 item 6: this was the last rows-only batch query).
+
+    The seed is md5-deterministic column algebra (domain/seed.py), so the
+    DuckDB oracle replays the ENTIRE pipeline — account seeding, active-FK
+    assignment, transaction seeding, type canonicalization, FX conversion,
+    category bucketing, date parts, and the per-account window metrics —
+    and must reproduce the per-type row counts, exact cents sums, AND a
+    bit_xor row digest over every metric column. Money flows through the
+    fixed-point cents policy (functions/numeric.py): the running balance
+    and 30-day spend are integer window sums, exact and order-independent
+    across engines and partitionings, where double window sums would drift
+    (DuckDB's segment-tree accumulation order ≠ Spark's running
+    accumulation). The anomaly stage (3σ flags over double stddev) stays
+    out of the digest by design — sample-stddev of doubles is
+    reassociation-sensitive; it is covered by
+    tests/test_banking_pipeline.py's hand-computed expectations instead."""
+    from pyspark.sql import Window
+
+    from ..domain.transactions import clean_transactions, enrich_transactions
+    from ..functions.hashing import md5_long
+
     data = seed_all(spark, num_customers=200, num_accounts=300,
                     num_transactions=3000)
-    return transform_transactions(data["transactions"])
+    enriched = enrich_transactions(clean_transactions(data["transactions"]))
+    usd_c = cents(F.col("amount_usd"))
+    signed_c = F.when(
+        F.col("transaction_type").isin("deposit", "transfer_in"), usd_c
+    ).otherwise(-usd_c)
+    spend_c = F.when(
+        F.col("transaction_type").isin("withdrawal", "payment"), usd_c
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.partitionBy("account_id").orderBy(
+        "transaction_date", "transaction_id"
+    )
+    w30 = (
+        Window.partitionBy("account_id")
+        .orderBy(F.col("transaction_date").cast("long"))
+        .rangeBetween(-30 * 86_400, 0)
+    )
+    m = (
+        enriched.select(
+            "transaction_id",
+            "account_id",
+            "transaction_type",
+            "transaction_category",
+            "transaction_date",
+            "transaction_year",
+            "transaction_month",
+            "transaction_day",
+            "transaction_hour",
+            F.col("is_weekend").cast("int").alias("wknd"),
+            usd_c.alias("usd_c"),
+            signed_c.alias("signed_c"),
+            spend_c.alias("spend_c"),
+        )
+        .select(
+            "*",
+            F.sum("signed_c").over(w).alias("running_balance_c"),
+            F.lag("transaction_date").over(w).alias("prev_ts"),
+            F.count(F.lit(1)).over(w30).alias("count_30d"),
+            F.sum("spend_c").over(w30).alias("spend_30d_c"),
+        )
+        .withColumn(
+            "days_since_last",
+            F.when(F.col("prev_ts").isNull(), F.lit(0)).otherwise(
+                F.datediff(F.col("transaction_date"), F.col("prev_ts"))
+            ),
+        )
+    )
+    digest = md5_long(
+        F.concat_ws(
+            "|",
+            *[
+                F.col(c).cast("string")
+                for c in (
+                    "transaction_id", "transaction_type",
+                    "transaction_category", "transaction_year",
+                    "transaction_month", "transaction_day",
+                    "transaction_hour", "wknd", "usd_c",
+                    "running_balance_c", "count_30d", "spend_30d_c",
+                    "days_since_last",
+                )
+            ],
+        )
+    )
+    return (
+        m.select("transaction_type", "usd_c", digest.alias("d"))
+        .groupBy("transaction_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("usd_c").alias("sum_usd_c"),
+            F.expr("bit_xor(d)").alias("checksum"),
+        )
+    )
+
+
+def _banking_txn_pipeline_sql() -> str:
+    """DuckDB replay of seed_accounts/seed_transactions (domain/seed.py) +
+    clean→enrich→cents-metrics, mirroring banking_txn_pipeline exactly."""
+    import datetime as dt
+
+    from ..domain.seed import (
+        ACCOUNT_STATUSES,
+        AS_OF,
+        CURRENCIES,
+        MERCHANT_CATEGORIES,
+        SEED,
+        TRANSACTION_TYPES,
+    )
+    from ..domain.transactions import CATEGORY_BUCKETS, FX_USD
+    from ..functions.hashing import sql_md5_long
+
+    def u(entity: str, field: str, n) -> str:
+        h = sql_md5_long(f"printf('{SEED}:{entity}:{field}:%d', id)")
+        return f"({h} % {n})"
+
+    def pick(entity: str, field: str, values: list[str]) -> str:
+        arr = "[" + ", ".join(f"'{v}'" for v in values) + "]"
+        return f"({arr})[CAST({u(entity, field, len(values))} AS INT) + 1]"
+
+    epoch_as_of = int(
+        dt.datetime.combine(AS_OF, dt.time(12, 0), dt.timezone.utc).timestamp()
+    )
+    secs_ago = (
+        f"{u('txn', 'days', 91)} * 86400 + {u('txn', 'hours', 25)} * 3600"
+        f" + {u('txn', 'mins', 60)} * 60 + {u('txn', 'secs', 60)}"
+    )
+    fx = " ".join(
+        f"WHEN currency = '{ccy}' THEN CAST(amount AS DOUBLE) * {rate!r}"
+        if ccy != "USD"
+        else "WHEN currency = 'USD' THEN CAST(amount AS DOUBLE)"
+        for ccy, rate in FX_USD.items()
+    )
+    bucket = " ".join(
+        "WHEN merchant_category IN ("
+        + ", ".join(f"'{c}'" for c in cats)
+        + f") THEN '{name}'"
+        for name, cats in CATEGORY_BUCKETS.items()
+    )
+    digest_cols = (
+        "transaction_id", "transaction_type", "transaction_category",
+        "transaction_year", "transaction_month", "transaction_day",
+        "transaction_hour", "wknd", "usd_c", "running_balance_c",
+        "count_30d", "spend_30d_c", "days_since_last",
+    )
+    digest = sql_md5_long(
+        " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in digest_cols)
+    )
+    return f"""
+WITH acct AS (
+  SELECT printf('ACC%08d', id) AS account_id,
+         {pick('acct', 'status', ACCOUNT_STATUSES)} AS account_status
+  FROM range(300) t(id)
+),
+active AS (
+  SELECT account_id,
+         row_number() OVER (ORDER BY account_id) - 1 AS _idx
+  FROM acct WHERE account_status = 'active'
+),
+nact AS (SELECT COUNT(*) AS n FROM active),
+txn AS (
+  SELECT 'TXN-' || md5(printf('{SEED}:txn:%d', id)) AS transaction_id,
+         {u('txn', 'acct_fk', '(SELECT n FROM nact)')} AS _idx,
+         {epoch_as_of} - ({secs_ago}) AS epoch,
+         {pick('txn', 'type', TRANSACTION_TYPES)} AS transaction_type,
+         CAST(10.0 + {u('txn', 'amount', 499_000)} / 100.0
+              AS DECIMAL(18, 2)) AS amount,
+         {pick('txn', 'ccy', CURRENCIES)} AS currency,
+         {pick('txn', 'mcat', MERCHANT_CATEGORIES)} AS merchant_category
+  FROM range(3000) t(id)
+),
+joined AS (
+  SELECT txn.*, active.account_id, make_timestamp(epoch * 1000000) AS ts
+  FROM txn JOIN active USING (_idx)
+),
+cleaned AS (
+  SELECT *,
+         CASE WHEN lower(transaction_type)
+                   IN ('deposit', 'withdrawal', 'transfer', 'payment')
+              THEN lower(transaction_type)
+              ELSE transaction_type END AS canon_type
+  FROM joined
+  WHERE NOT (lower(transaction_type) = 'deposit' AND amount < 0)
+),
+enriched AS (
+  SELECT transaction_id, account_id, ts, epoch,
+         canon_type AS transaction_type,
+         CAST(year(ts) AS INTEGER) AS transaction_year,
+         CAST(month(ts) AS INTEGER) AS transaction_month,
+         CAST(day(ts) AS INTEGER) AS transaction_day,
+         CAST(hour(ts) AS INTEGER) AS transaction_hour,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
+         {sql_cents(f"CASE {fx} ELSE CAST(amount AS DOUBLE) END")} AS usd_c,
+         CASE {bucket} ELSE 'Other' END AS transaction_category
+  FROM cleaned
+),
+signed AS (
+  SELECT *,
+         CASE WHEN transaction_type IN ('deposit', 'transfer_in')
+              THEN usd_c ELSE -usd_c END AS signed_c,
+         CASE WHEN transaction_type IN ('withdrawal', 'payment')
+              THEN usd_c ELSE 0 END AS spend_c
+  FROM enriched
+),
+m AS (
+  SELECT *,
+         SUM(signed_c) OVER
+             (PARTITION BY account_id ORDER BY ts, transaction_id)
+             AS running_balance_c,
+         LAG(ts) OVER
+             (PARTITION BY account_id ORDER BY ts, transaction_id)
+             AS prev_ts,
+         COUNT(*) OVER w30 AS count_30d,
+         SUM(spend_c) OVER w30 AS spend_30d_c
+  FROM signed
+  WINDOW w30 AS (PARTITION BY account_id ORDER BY epoch
+                 RANGE BETWEEN {30 * 86_400} PRECEDING AND CURRENT ROW)
+),
+final AS (
+  SELECT *,
+         CAST(CASE WHEN prev_ts IS NULL THEN 0
+                   ELSE date_diff('day', CAST(prev_ts AS DATE),
+                                  CAST(ts AS DATE)) END AS INTEGER)
+             AS days_since_last
+  FROM m
+)
+SELECT transaction_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(usd_c) AS BIGINT) AS sum_usd_c,
+       bit_xor({digest}) AS checksum
+FROM final
+GROUP BY transaction_type
+"""
+
+
+BANKING_TXN_PIPELINE_SQL = _banking_txn_pipeline_sql()
 
 
 def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +583,7 @@ QUERIES: dict[str, QuerySpec] = {
         "full-outer snapshot reconciliation: insert/delete/update classes",
     ),
     "banking_txn_pipeline": QuerySpec(
-        banking_txn_pipeline, None,
-        "full clean/enrich/metrics/anomaly chain on seeded banking data",
+        banking_txn_pipeline, BANKING_TXN_PIPELINE_SQL,
+        "seed→clean→enrich→metrics chain, cents-exact bit_xor digest",
     ),
 }

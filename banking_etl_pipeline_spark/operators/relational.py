@@ -1135,18 +1135,26 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Null-aware oracle (ADVICE r1): Spark's try_variant_get returns SQL NULL
+# for a missing path, a present-but-JSON-null value, AND a non-castable
+# value; DuckDB's json_extract returns a JSON 'null' (not SQL NULL) for the
+# middle case and CAST would error on the last. TRY_CAST(json_extract_string)
+# collapses all three to SQL NULL, matching Spark row-for-row even if the
+# seeded invariant ("k" absent or int) ever changes.
 VARIANT_EXTRACT_SQL = """
+WITH ext AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
-           AS sum_k,
-       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
-           AS min_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
-           AS max_k
-FROM events
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INTEGER) AS min_k,
+       CAST(MAX(k) AS INTEGER) AS max_k
+FROM ext
 GROUP BY event_type
 """
 

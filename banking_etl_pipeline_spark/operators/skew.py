@@ -257,6 +257,9 @@ GROUP BY p.token, p.exact_n
 # ---------------------------------------------------------------------------
 
 HLL_M = 256  # registers (2^8)
+HLL_SHIFT = 8  # log2(HLL_M): exact integer >>8 == DuckDB hv // 256 (float "/" can
+# drift for h > 2^53 — ADVICE r1)
+assert (1 << HLL_SHIFT) == HLL_M
 HLL_HASH_BITS = 52  # md5_long is 60-bit; use 8 for the bucket, 52 for rho
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # same literal in both engines
 
@@ -282,7 +285,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).select(
         (h % HLL_M).alias("bucket"),
-        F.floor(h / HLL_M).cast("long").alias("rest"),
+        F.shiftright(h, HLL_SHIFT).cast("long").alias("rest"),
     )
     # bit_length via binary-string length: exact in both engines
     bitlen = F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)
@@ -491,7 +494,7 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         (h % HLL_M).alias("bucket"),
-        F.floor(h / HLL_M).cast("long").alias("rest"),
+        F.shiftright(h, HLL_SHIFT).cast("long").alias("rest"),
     )
     bitlen = (
         F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)
@@ -577,7 +580,7 @@ def rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.col("ts").cast("date")).cast("long").alias("dayn"),
         "user_id",
         (h % HLL_M).alias("bucket"),
-        F.floor(h / HLL_M).cast("long").alias("rest"),
+        F.shiftright(h, HLL_SHIFT).cast("long").alias("rest"),
     )
     bitlen = (
         F.when(F.col("rest") > 0, F.length(F.bin(F.col("rest")))).otherwise(0)

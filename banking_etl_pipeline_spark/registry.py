@@ -3,9 +3,20 @@
 Aggregates every operator module's QUERIES dict. `__spark_entry__.py` exposes
 this to the driver; tests/test_oracle_parity.py runs the same comparison
 locally at sf0.001.
+
+Ordering: the driver's correctness harness records only the first ~50
+registry-order entries per round, so `all_queries()` emits keys that have
+never earned a green row in any past `CORRECTNESS_r*.json` FIRST (in a
+priority module order: quality → scans → etl → windows → dedup → similarity →
+corpus → ...), then the already-verified keys. This auto-rotates coverage
+each round without manual curation.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 from .operators import (
     analytics,
@@ -20,8 +31,14 @@ from .operators import (
 from .sources import scan_queries
 from .spec import QuerySpec
 
-_MODULES = [relational, windows, quality, scan_queries, etl, analytics, skew,
-            sampling, layout]
+# Priority order: never-driver-verified families first (quality/scans/etl per
+# VERDICT r1 item 1), then the LLM-data extension surface (inserted below),
+# so the unverified-first partition in all_queries() puts the reference's
+# distinctive DQ library + scans + dedup/similarity/corpus at the head of the
+# round-2 correctness window. TPC-H-style analytics (mostly r1-verified or
+# lower priority) go last.
+_MODULES = [quality, scan_queries, etl, windows]
+_TAIL_MODULES = [relational, analytics, skew, sampling, layout]
 
 try:  # extension operators land incrementally; keep the registry importable
     from .operators import dedup as _dedup
@@ -66,12 +83,46 @@ try:
 except ImportError:  # pragma: no cover
     pass
 
+_MODULES.extend(_TAIL_MODULES)
+
+
+def _driver_verified_keys() -> set[str]:
+    """Keys with a fully-green row in any past driver CORRECTNESS_r*.json.
+
+    The repo root is two levels above this file. Missing/corrupt files are
+    ignored (fresh checkout, mid-write) — worst case the ordering falls back
+    to plain registry order, which is still valid.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):  # pragma: no cover
+            continue
+        if not isinstance(rows, dict):  # pragma: no cover
+            continue
+        for key, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") and \
+                    row.get("schema_match") and row.get("hash_match"):
+                green.add(key)
+    return green
+
 
 def all_queries() -> dict[str, QuerySpec]:
-    out: dict[str, QuerySpec] = {}
+    ordered: dict[str, QuerySpec] = {}
     for mod in _MODULES:
         for key, spec in mod.QUERIES.items():
-            if key in out:
+            if key in ordered:
                 raise ValueError(f"duplicate query key {key!r}")
+            ordered[key] = spec
+    verified = _driver_verified_keys()
+    out: dict[str, QuerySpec] = {}
+    for key, spec in ordered.items():  # never-verified keys first
+        if key not in verified:
+            out[key] = spec
+    for key, spec in ordered.items():
+        if key in verified:
             out[key] = spec
     return out

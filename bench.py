@@ -168,14 +168,20 @@ def main() -> None:
         timings[key] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver keeps only the TAIL of stdout; r1's single long line (121-
+    # entry dict before "sf") was truncated mid-dict → "parsed": null. Emit
+    # the full per-query dict on its own earlier line, then a SHORT headline
+    # line LAST so it always survives truncation.
+    print(json.dumps({"metric": "per_query_sec", "queries": timings, "sf": sf}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

@@ -10,6 +10,7 @@ from banking_etl_pipeline_spark.operators.corpus import (
     TOP_TERMS_K,
     dup_clusters,
     propagate_min_labels,
+    propagate_to_fixpoint,
     repetition_ratio,
     stratified_sample,
     tfidf_top_terms,
@@ -32,6 +33,34 @@ def test_propagation_three_hops_on_chain(spark):
     # one more iteration converges the chain fully
     got4 = _labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], 4)
     assert got4 == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+
+def test_fixpoint_labels_diameter5_chain(spark):
+    """VERDICT r1 item 3: fixed 3-round propagation only labels components
+    of diameter ≤ 3. The fixpoint driver must fully converge a diameter-5
+    chain (1-2-3-4-5-6): every vertex gets the component min regardless of
+    hop distance, and a disjoint pair keeps its own label."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (20, 21)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["v"]: r["label"] for r in propagate_to_fixpoint(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 20: 20, 21: 20}
+
+
+def test_fixpoint_respects_iteration_backstop(spark):
+    """max_iterations caps the rounds (runaway guard): with 1 round allowed
+    on the diameter-5 chain, labels equal the 1-hop propagation result."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["v"]: r["label"]
+        for r in propagate_to_fixpoint(df, max_iterations=1).collect()
+    }
+    one_hop = {
+        r["v"]: r["label"] for r in propagate_min_labels(df, 1).collect()
+    }
+    assert got == one_hop
 
 
 def test_propagation_converges_small_components(spark):

@@ -458,3 +458,20 @@ def test_rate_limit_single_shuffle(spark, sf_dir, queries):
     """The throttle is one (user, day) window: a single hash exchange."""
     p = plan_of(_build(queries, spark, sf_dir, "rate_limit_sample"))
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_dedup_ngram_jaccard_df_capped_equi_join(spark, sf_dir, queries):
+    """The shingle pair join must stay an equi join over df-capped posting
+    lists (VERDICT r1: default-uncapped df² blowup) — never a nested loop."""
+    p = plan_of(_build(queries, spark, sf_dir, "dedup_ngram_jaccard"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_embedding_cosine_banded_not_allpairs(spark, sf_dir, queries):
+    """Candidate generation must ride the sign-LSH band equi join (VERDICT
+    r1: the all-pairs `a.vec_id < b.vec_id` form planned a
+    BroadcastNestedLoopJoin, O(n²) at any scale)."""
+    p = plan_of(_build(queries, spark, sf_dir, "dedup_embedding_cosine"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
