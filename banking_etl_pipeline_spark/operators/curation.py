@@ -1,0 +1,458 @@
+"""Advanced corpus-curation operators over `documents` (engine extension,
+BASELINE.json north star): the second tier of a training-data pipeline —
+importance resampling, incremental (new-batch-vs-index) dedup, containment
+detection, and boilerplate stripping.
+
+Scale design:
+- dsir_importance: hashed-feature importance resampling (the DSIR recipe
+  from the public data-selection literature): both class-conditional bucket
+  count tables live in ONE conditional aggregate over the exploded token
+  stream, the 1024-row log-likelihood-ratio dictionary broadcasts, and each
+  document's score is an int64 sum of fixed-point LLRs — exact,
+  order-independent, mergeable across shards.
+- dedup_incremental: probes the incoming batch's band signatures against
+  the persisted corpus band table (dedup.minhash_bands) — the production
+  "dedup tonight's crawl against the index" shape: the index is written
+  once; the probe is an equi-join on (band, band-hash) whose left side is
+  batch-sized, never a corpus self-join.
+- minhash_containment: same df-capped shingle equi-join as exact Jaccard,
+  but scoring containment |A∩B| / min(|A|,|B|) — catches subset/quotation
+  duplicates whose Jaccard is diluted by the longer document.
+- boilerplate_strip: df-ratio token filter; re-assembly sorts an exploded
+  (pos, token) pair list per doc, so the result is independent of
+  partitioning and of aggregation order (never a bare collect_list).
+
+All md5-derived hashing (functions/hashing.py) — every operator's DuckDB
+oracle reproduces scores and digests bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
+from ..session import default_parallelism
+from ..spec import QuerySpec
+from .dedup import (
+    JACCARD_MAX_DF,
+    N_HASHES,
+    SQL_BANDS_CTES,
+    _exploded_shingles,
+    _MIN_TOKENS,
+    _SQL_SHINGLES,
+    minhash_bands,
+)
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance scoring
+# ---------------------------------------------------------------------------
+
+DSIR_MOD = 20        # md5 bucket 0 of 20 → ~5% of docs form the target set
+DSIR_DIM = 1024      # hashed feature buckets
+DSIR_FIXED = 1_000_000  # fixed-point scale for the per-bucket LLR
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-feature form: score
+    every source document by how target-like its token distribution is.
+
+    A hash-designated ~5% of docs act as the in-domain target set. Features
+    are md5-hashed token buckets (the hashing trick — no vocabulary, fixed
+    DSIR_DIM dimensionality at any corpus size). Per bucket f the
+    add-one-smoothed log-likelihood ratio
+        llr(f) = ln((ct_f+1)/(T+D)) − ln((cs_f+1)/(S+D))
+    is quantized to fixed-point (floor · 10^6 → int64), and a document's
+    importance score is Σ tokens llr_fixed(bucket) — an INTEGER sum, exact
+    and order-independent, so shards merge by addition (ln appears only in
+    the 1024-row dictionary, the same cross-engine-stable usage as the HLL
+    estimator). Plan: one exploded conditional aggregate builds both count
+    tables at once; the LLR dictionary broadcasts; one groupBy(doc) sums.
+    `selected` marks positive-scoring docs — the resampling keep set."""
+    d = table(spark, sf_dir, "documents").repartition(default_parallelism())
+    is_target = md5_long(
+        F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))
+    ) % DSIR_MOD == 0
+    toks = d.select(
+        "doc_id",
+        is_target.alias("tgt"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "tgt",
+        (md5_long(F.concat(F.lit("feat:"), F.col("tok"))) % DSIR_DIM)
+        .alias("f"),
+    )
+    counts = toks.groupBy("f").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cs"),
+    )
+    # totals are the column sums of the 1024-row bucket table — never a
+    # second scan of the token stream
+    totals = counts.agg(
+        F.sum("ct").alias("t_total"), F.sum("cs").alias("s_total")
+    )
+    llr = (
+        F.log((F.col("ct") + 1.0) / (F.col("t_total") + float(DSIR_DIM)))
+        - F.log((F.col("cs") + 1.0) / (F.col("s_total") + float(DSIR_DIM)))
+    )
+    dictionary = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.floor(llr * F.lit(float(DSIR_FIXED))).cast("long").alias("llr_fx"),
+    )
+    scored = (
+        toks.filter(~F.col("tgt"))
+        .join(F.broadcast(dictionary), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_fx").alias("score_fx"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "score_fx",
+        (F.col("score_fx") > 0).alias("selected"),
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {sql_md5_long("'dsir:' || CAST(doc_id AS VARCHAR)")} % {DSIR_MOD} = 0
+             AS tgt,
+         {sql_md5_long("'feat:' || tok")} % {DSIR_DIM} AS f
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+counts AS (
+  SELECT f,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+  FROM toks GROUP BY f
+),
+totals AS (SELECT SUM(ct) AS t_total, SUM(cs) AS s_total FROM counts),
+dict AS (
+  SELECT f,
+         CAST(FLOOR((ln((ct + 1.0) / (t_total + {float(DSIR_DIM)!r}))
+                     - ln((cs + 1.0) / (s_total + {float(DSIR_DIM)!r})))
+                    * {float(DSIR_FIXED)!r}) AS BIGINT) AS llr_fx
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(llr_fx) AS BIGINT) AS score_fx,
+       SUM(llr_fx) > 0 AS selected
+FROM toks JOIN dict USING (f)
+WHERE NOT tgt
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: incoming batch vs corpus signature index
+# ---------------------------------------------------------------------------
+
+INC_MOD = 5  # md5 bucket 0 of 5 → ~20% of docs play the "incoming batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the existing corpus WITHOUT a corpus
+    self-join — the nightly-crawl-vs-index shape every production dedup
+    runs: the corpus's banded MinHash signature table (dedup.minhash_bands,
+    persisted ≙ materialized index) is probed by the batch's band keys via
+    an equi-join on (band, band-hash); candidates are verified by exact
+    signature agreement. Per incoming doc: candidate count, duplicate
+    count at the MinHash threshold, and the best corpus match picked by a
+    zero-padded (match-count, inverted doc id) max_by key — integer
+    sort key, so ties break deterministically on the smallest corpus doc.
+    Incoming docs with no band collision appear with zero counts (left
+    join): the batch report is complete, not hit-only."""
+    bands = minhash_bands(spark, sf_dir)
+    incoming_flag = md5_long(
+        F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))
+    ) % INC_MOD == 0
+    bands = bands.withColumn("inc", incoming_flag)
+    probe = bands.filter("inc").select(
+        F.col("doc_id").alias("in_doc"),
+        F.col("sig").alias("in_sig"),
+        "band",
+        "bh",
+    )
+    index = bands.filter(~F.col("inc")).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sig").alias("corpus_sig"),
+        "band",
+        "bh",
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("in_sig"), F.col("corpus_sig"),
+            lambda x, y: (x == y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probe.join(index, ["band", "bh"])
+        .select("in_doc", "corpus_doc", "in_sig", "corpus_sig")
+        .dropDuplicates(["in_doc", "corpus_doc"])
+        .select("in_doc", "corpus_doc", n_match.alias("n_match"))
+    )
+    best_key = F.format_string(
+        "%02d:%010d", F.col("n_match"), F.lit(9_999_999_999) - F.col("corpus_doc")
+    )
+    per_doc = cand.groupBy("in_doc").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            (F.col("n_match") >= int(0.2 * N_HASHES) + 1).cast("long")
+        ).alias("n_dups"),
+        F.max_by("corpus_doc", best_key).alias("best_match"),
+        F.max("n_match").alias("best_n_match"),
+    )
+    incoming_docs = bands.filter("inc").select(
+        F.col("doc_id").alias("in_doc")
+    ).distinct()
+    return incoming_docs.join(per_doc, "in_doc", "left").select(
+        "in_doc",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        "best_match",
+        F.coalesce("best_n_match", F.lit(0)).alias("best_n_match"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {SQL_BANDS_CTES},
+flagged AS (
+  SELECT *,
+         {sql_md5_long("'inc:' || CAST(doc_id AS VARCHAR)")} % {INC_MOD} = 0
+             AS inc
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS in_doc, x.doc_id AS corpus_doc,
+         p.sig AS in_sig, x.sig AS corpus_sig
+  FROM flagged p JOIN flagged x
+    ON p.band = x.band AND p.bh = x.bh AND p.inc AND NOT x.inc
+),
+scored AS (
+  SELECT in_doc, corpus_doc,
+         CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
+              i -> CASE WHEN in_sig[i] = corpus_sig[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS n_match
+  FROM cand
+),
+per_doc AS (
+  SELECT in_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN n_match >= {int(0.2 * N_HASHES) + 1}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         arg_max(corpus_doc,
+                 printf('%02d:%010d', n_match, 9999999999 - corpus_doc))
+             AS best_match,
+         MAX(n_match) AS best_n_match
+  FROM scored GROUP BY in_doc
+),
+incoming AS (
+  SELECT DISTINCT doc_id AS in_doc FROM flagged WHERE inc
+)
+SELECT i.in_doc,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       COALESCE(p.n_dups, 0) AS n_dups,
+       p.best_match,
+       COALESCE(p.best_n_match, 0) AS best_n_match
+FROM incoming i LEFT JOIN per_doc p USING (in_doc)
+"""
+
+
+# ---------------------------------------------------------------------------
+# containment (subset/quotation) duplicate detection
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment duplicates: pairs where the smaller document's shingle
+    set is mostly inside the larger one — C = |A∩B| / min(|A|,|B|).
+    Jaccard misses these (a doc quoted inside a 10× longer one has J ≈
+    0.1 but C ≈ 1.0); curation wants them because the contained copy adds
+    no information. Same df-capped shingle equi-join as exact Jaccard
+    (sizes pre-cap, so the denominator stays exact); the cap bounds the
+    pair blowup identically."""
+    exploded = _exploded_shingles(
+        table(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .repartition(default_parallelism())
+        .select("doc_id", "text")
+    ).persist()
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_DF)
+        .select("s")
+    )
+    capped = exploded.join(rare, "s")
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    containment = F.col("common").cast("double") / F.least("n_a", "n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "common", "n_a", "n_b",
+                containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+MINHASH_CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh
+  FROM documents WHERE {_MIN_TOKENS}
+),
+sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+e0 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+rare AS (
+  SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+e AS (SELECT doc_id, s FROM e0 JOIN rare USING (s)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.common,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(p.common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+        >= {CONTAIN_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping (df-ratio token filter, order-preserving rebuild)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_DF_RATIO = 0.6  # tokens present in >60% of docs are boilerplate
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip boilerplate tokens (document frequency > 60% of the corpus —
+    nav bars, cookie banners, licence headers in real crawls) and emit the
+    cleaned document plus before/after counts. Token order must survive
+    the strip, so re-assembly sorts the exploded (pos, token) pairs inside
+    an array_sort before joining — NEVER a bare collect_list, whose
+    element order depends on partitioning. The df table is vocabulary-
+    sized (broadcast); the rebuild is one groupBy(doc_id). Cleaned-text
+    md5 gives downstream exact-dedup a boilerplate-insensitive key."""
+    d = table(spark, sf_dir, "documents").repartition(default_parallelism())
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    df_tbl = ex.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    keep_toks = (
+        df_tbl.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double") / F.col("n_docs")
+            <= BOILERPLATE_DF_RATIO
+        )
+        .select("tok")
+    )
+    kept = ex.join(F.broadcast(keep_toks), "tok")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    # original token count is a per-row expression over documents — no
+    # third pass over the exploded stream
+    orig = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        orig.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+BOILERPLATE_STRIP_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, p.i - 1 AS pos, string_split(text, ' ')[p.i] AS tok
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1))
+                AS i) p
+),
+df_tbl AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+keep_toks AS (
+  SELECT tok FROM df_tbl CROSS JOIN n
+  WHERE CAST(df AS DOUBLE) / n_docs <= {BOILERPLATE_DF_RATIO}
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM ex JOIN keep_toks USING (tok)
+  GROUP BY doc_id
+),
+orig AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT o.doc_id, o.n_tokens,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM orig o LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dsir_importance": QuerySpec(
+        dsir_importance, DSIR_IMPORTANCE_SQL,
+        "hashed-feature importance resampling score (DSIR recipe)",
+    ),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental, DEDUP_INCREMENTAL_SQL,
+        "incoming-batch LSH probe against the corpus signature index",
+    ),
+    "minhash_containment": QuerySpec(
+        minhash_containment, MINHASH_CONTAINMENT_SQL,
+        "subset/quotation duplicate pairs by shingle containment",
+    ),
+    "boilerplate_strip": QuerySpec(
+        boilerplate_strip, BOILERPLATE_STRIP_SQL,
+        "df-ratio boilerplate token strip with order-preserving rebuild",
+    ),
+}

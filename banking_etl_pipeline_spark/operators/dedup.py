@@ -248,7 +248,12 @@ _SQL_SIGNATURE = "[" + ", ".join(
 ) + "]"
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, band, bh): the per-doc MinHash signature exploded into
+    banded bucket keys — the materialized "signature index" every LSH
+    consumer joins against (self-join here; incoming-batch probe in
+    curation.dedup_incremental). Persisted: at cluster scale this is the
+    signature table you write once and join many."""
     d = _signatures(
         _exploded_shingles(
             table(spark, sf_dir, "documents")
@@ -284,8 +289,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LSH candidate join is a self-join: without persist both branches
     # recompute the full shingle→signature pipeline (2× the dominant cost);
     # at cluster scale this persist is the signature-stage materialization
-    bands = bands.persist()
+    return bands.persist()
 
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -320,8 +328,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_LSH_SQL = f"""
-WITH t AS (
+# Reusable oracle CTE chain shingles→signatures→band table; consumed here
+# and by curation.dedup_incremental's incoming-batch probe.
+SQL_BANDS_CTES = f"""t AS (
   SELECT doc_id, {_SQL_SHINGLES.format(x='text')} AS sh
   FROM documents WHERE {_MIN_TOKENS}
 ),
@@ -332,7 +341,10 @@ bands AS (
          md5(CAST(sig[b.band * 2 + 1] AS VARCHAR) || ','
              || CAST(sig[b.band * 2 + 2] AS VARCHAR)) AS bh
   FROM sigs, (SELECT unnest(range(0, {N_BANDS})) AS band) b
-),
+)"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {SQL_BANDS_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b

@@ -85,6 +85,14 @@ except ImportError:  # pragma: no cover
 
 _MODULES.extend(_TAIL_MODULES)
 
+try:  # round-2+ curation tier: registered last so its (new, never-verified)
+    # keys queue BEHIND the families the driver window should verify first
+    from .operators import curation as _curation
+
+    _MODULES.append(_curation)
+except ImportError:  # pragma: no cover
+    pass
+
 
 def _driver_verified_keys() -> set[str]:
     """Keys with a fully-green row in any past driver CORRECTNESS_r*.json.

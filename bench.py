@@ -142,6 +142,10 @@ HEADLINE = [
     "embedding_drift",
     "rfm_features",
     "feature_hashing",
+    "dsir_importance",
+    "dedup_incremental",
+    "minhash_containment",
+    "boilerplate_strip",
 ]
 
 

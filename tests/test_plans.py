@@ -475,3 +475,33 @@ def test_dedup_embedding_cosine_banded_not_allpairs(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "dedup_embedding_cosine"))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_dictionary_broadcasts(spark, sf_dir, queries):
+    """The 1024-row LLR dictionary must broadcast onto the token stream —
+    a shuffled join on the feature bucket would be Zipf-skewed."""
+    p = plan_of(_build(queries, spark, sf_dir, "dsir_importance"))
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dedup_incremental_probe_equi_join(spark, sf_dir, queries):
+    """The batch probe must ride the (band, bh) equi join against the
+    signature index — never a nested-loop or cartesian pair scan."""
+    p = plan_of(_build(queries, spark, sf_dir, "dedup_incremental"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_containment_df_capped_equi_join(spark, sf_dir, queries):
+    p = plan_of(_build(queries, spark, sf_dir, "minhash_containment"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_boilerplate_keep_set_broadcasts(spark, sf_dir, queries):
+    """The vocabulary-sized keep set must broadcast; the rebuild's order
+    recovery must be array_sort (JVM expression), not a Python UDF."""
+    p = plan_of(_build(queries, spark, sf_dir, "boilerplate_strip"))
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
