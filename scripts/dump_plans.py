@@ -45,6 +45,12 @@ GALLERY: dict[str, str] = {
     "gram_matrix": "64 sum-aggregates per dimension over one posexplode pass — shuffle carries 64-long partial buffers, never exploded pairs.",
     "table_profile": "Two-phase distinct: stack unpivot → (column, value) hash aggregate → per-column rollup; one FileScan.",
     "monthly_trend": "All three windows over the monthly rollup; single raw-data aggregate feeds MoM/YoY/trailing-3m.",
+    "dedup_embedding_cosine": "Sign-LSH band self equi-join generates candidates; exact cosine only on survivors — no nested-loop pair scan.",
+    "dup_clusters": "Fixpoint label propagation: each round joins a localCheckpoint'd label table (truncated lineage) against the persisted edge list.",
+    "dedup_incremental": "Incoming batch probes the persisted signature index via a (band, bh) equi-join — probe cost scales with the batch, not the corpus.",
+    "dsir_importance": "One conditional aggregate builds both class count tables; the 1024-row LLR dictionary broadcasts onto the token stream.",
+    "boilerplate_strip": "Vocabulary-sized keep set broadcast; order recovery via array_sort over (pos, token) structs inside the aggregate.",
+    "banking_txn_pipeline": "Seeded chain reduced to a digest: integer cents window sums share one account_id exchange; bit_xor folds map-side.",
 }
 
 
