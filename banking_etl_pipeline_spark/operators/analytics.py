@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import cents
+from ..functions.numeric import cents, ftrunc, sql_ftrunc
 from ..spec import QuerySpec
 
 # revenue = sum(extendedprice * (1 - discount)) in exact fixed point:
@@ -1511,7 +1511,173 @@ FROM per_user
 """
 
 
+ATTRIBUTION_WINDOW_DAYS = 7
+ATTRIBUTION_BP = 10_000  # total credit per conversion, basis points
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase splits ATTRIBUTION_BP basis
+    points of credit EQUALLY across the same user's view/click touches in
+    the preceding 7 days — with the integer remainder going to the
+    EARLIEST touch (zero-padded (epoch-µs, event_id) min key), so per-
+    conversion credit sums to exactly 10000 and the whole report is int64
+    arithmetic (no float credit drift, bit-identical cross-engine).
+    The batch generalization of `streaming_click_attribution`'s last-touch
+    pair join: same bounded user-equi-join with a time-range residual —
+    at scale the range bound is what keeps pair counts (and streaming
+    state) proportional to touches-per-window, and a hot user is an
+    ordinary skewed join key. Report: per touch type, pair count, total
+    credited basis points, distinct converted purchases."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") >= F.col("p_ts")
+         - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS"))
+        & (F.col("t_ts") < F.col("p_ts"))
+    )
+    tkey = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("t_ts")), F.col("t_id")
+    )
+    per_p = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min(tkey).alias("fkey")
+    )
+    base = F.expr(f"{ATTRIBUTION_BP} div n")
+    bp = base + F.when(
+        tkey == F.col("fkey"), F.lit(ATTRIBUTION_BP) - F.col("n") * base
+    ).otherwise(F.lit(0))
+    return (
+        pairs.join(per_p, "p_id")
+        .select("t_type", "p_id", bp.alias("bp"))
+        .groupBy("t_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("bp").alias("credit_bp"),
+            F.countDistinct("p_id").alias("n_purchases"),
+        )
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, event_type AS t_type, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT p.p_id, t.t_id, t.t_type, t.t_ts
+  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAY
+   AND t.t_ts < p.p_ts
+),
+per_p AS (
+  SELECT p_id, COUNT(*) AS n,
+         MIN(printf('%020d:%010d', epoch_us(t_ts), t_id)) AS fkey
+  FROM pairs GROUP BY p_id
+),
+credited AS (
+  SELECT pr.t_type, pr.p_id,
+         ({ATTRIBUTION_BP} // n)
+         + CASE WHEN printf('%020d:%010d', epoch_us(pr.t_ts), pr.t_id) = fkey
+                THEN {ATTRIBUTION_BP} - n * ({ATTRIBUTION_BP} // n)
+                ELSE 0 END AS bp
+  FROM pairs pr JOIN per_p USING (p_id)
+)
+SELECT t_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(bp) AS BIGINT) AS credit_bp,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
+FROM credited GROUP BY t_type
+"""
+
+
+# Monday anchor strictly before every date in the test tables, so the
+# day-count n below is always positive and integer div/mod agree between
+# Spark's `div` (truncating) and DuckDB's `//` (flooring).
+BDAY_ANCHOR = "1990-01-01"
+
+
+def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days per order priority — the
+    SLA metric calendar-day datediff overstates by ~40% on weekend spans.
+
+    Closed form, no calendar spine and no per-day explode (a spine join
+    multiplies rows ~120× at this span; the formula is O(1) per row):
+    with a fixed Monday anchor, g(d) = 5·(n div 7) + least(n mod 7, 5)
+    counts weekdays in [anchor, d), so latency = g(ship) − g(order).
+    Everything is integer datediff/div/mod/least — exact and identical in
+    both engines. Aggregation keeps exact int sums; only the displayed
+    mean is a truncated double."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def g(col: str) -> Column:
+        n = F.datediff(F.col(col), F.lit(BDAY_ANCHOR).cast("date"))
+        return F.expr(f"5 * (datediff({col}, DATE'{BDAY_ANCHOR}') div 7)") \
+            + F.least(n % 7, F.lit(5))
+
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    lat = (g("l_shipdate") - g("o_orderdate")).alias("bdays")
+    return (
+        j.select("o_orderpriority", lat)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("bdays").alias("sum_bdays"),
+            ftrunc(
+                F.sum("bdays").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_bdays"),
+        )
+    )
+
+
+BUSINESS_DAY_LATENCY_SQL = f"""
+WITH g AS (
+  SELECT o.o_orderpriority,
+         (5 * (date_diff('day', DATE '{BDAY_ANCHOR}',
+                         CAST(l.l_shipdate AS DATE)) // 7)
+          + least(date_diff('day', DATE '{BDAY_ANCHOR}',
+                            CAST(l.l_shipdate AS DATE)) % 7, 5))
+         - (5 * (date_diff('day', DATE '{BDAY_ANCHOR}',
+                           CAST(o.o_orderdate AS DATE)) // 7)
+            + least(date_diff('day', DATE '{BDAY_ANCHOR}',
+                              CAST(o.o_orderdate AS DATE)) % 7, 5))
+             AS bdays
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(bdays) AS BIGINT) AS sum_bdays,
+       {sql_ftrunc("CAST(SUM(bdays) AS DOUBLE) / COUNT(*)", 4)} AS avg_bdays
+FROM g GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "attribution_linear": QuerySpec(
+        attribution_linear, ATTRIBUTION_LINEAR_SQL,
+        "integer multi-touch attribution over a bounded interval join",
+    ),
+    "business_day_latency": QuerySpec(
+        business_day_latency, BUSINESS_DAY_LATENCY_SQL,
+        "closed-form business-day SLA latency per order priority",
+    ),
     "rfm_features": QuerySpec(
         rfm_features,
         RFM_FEATURES_SQL,

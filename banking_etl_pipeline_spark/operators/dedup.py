@@ -465,9 +465,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     theory (raise BAND_BITS with corpus size to shrink buckets, add bands
     to recover recall) while precision is exact — every emitted pair truly
     clears COSINE_DUP_THRESHOLD."""
-    from .similarity import lsh_bands
+    from .similarity import lsh_bands_cached
 
-    bands = lsh_bands(spark, sf_dir)
+    bands = lsh_bands_cached(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

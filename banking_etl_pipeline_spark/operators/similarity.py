@@ -111,12 +111,32 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache of the band-signature table (same pattern/rationale
+# as dedup._LSH_CACHE): the 96 hyperplane dot products per vector are
+# higher-order-function folds — interpreted per element, the most expensive
+# expression in the module — and every consumer (both sides of ann_lsh's
+# candidate join, dedup_embedding_cosine, ann_recall_report) would otherwise
+# recompute them per action. One materialization per (session, sf_dir) ≙ the
+# persisted signature index a cluster deployment maintains.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _BANDS_CACHE if k[0] != app]:
+        del _BANDS_CACHE[stale]
+    key = (app, sf_dir)
+    if key not in _BANDS_CACHE:
+        _BANDS_CACHE[key] = lsh_bands(spark, sf_dir).persist()
+    return _BANDS_CACHE[key]
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH ANN: candidate pairs share at least one band signature,
     then exact cosine re-rank over the deduplicated candidate set. Recall is
     probabilistic by design (tests assert recall ≥ threshold vs brute
     force), but the operator itself is deterministic and oracle-checked."""
-    bands = lsh_bands(spark, sf_dir)
+    bands = lsh_bands_cached(spark, sf_dir)
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("band").alias("qband"),
@@ -800,7 +820,53 @@ FROM rows_ GROUP BY dim
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation as a first-class operator: per-query recall@k of the
+    banded-LSH ANN against the brute-force exact top-k. Both pipelines
+    are deterministic (md5-derived hyperplanes, total-order tie-breaks),
+    so the recall numbers themselves are oracle-checkable — the DuckDB
+    replay recomputes BOTH pipelines and the same join. This is the
+    measurement a production ANN deployment gates index-parameter changes
+    on (bands/bits vs recall); here it runs as one left join between two
+    k·|queries|-row results — evaluation cost is negligible next to
+    either pipeline."""
+    truth = ann_brute_force(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = ann_lsh(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH truth AS (
+  SELECT q_id, neighbor_id FROM ({ANN_BRUTE_FORCE_SQL}) b
+),
+approx AS (
+  SELECT q_id, neighbor_id, 1 AS hit FROM ({ANN_LSH_SQL}) l
+)
+SELECT t.q_id,
+       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / {float(TOP_K)!r} AS recall
+FROM truth t
+LEFT JOIN approx a ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.q_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_recall_report": QuerySpec(
+        ann_recall_report, ANN_RECALL_REPORT_SQL,
+        "per-query recall@k of banded LSH vs brute-force truth",
+    ),
     "embedding_drift": QuerySpec(
         embedding_drift,
         EMBEDDING_DRIFT_SQL,

@@ -146,6 +146,9 @@ HEADLINE = [
     "dedup_incremental",
     "minhash_containment",
     "boilerplate_strip",
+    "attribution_linear",
+    "business_day_latency",
+    "ann_recall_report",
 ]
 
 

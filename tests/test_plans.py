@@ -505,3 +505,18 @@ def test_boilerplate_keep_set_broadcasts(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "boilerplate_strip"))
     assert "BroadcastExchange" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_attribution_interval_join_no_cartesian(spark, sf_dir, queries):
+    """The touch window must ride the user_id equi join with the time
+    range as residual — never a cartesian/NLJ pair scan."""
+    p = plan_of(_build(queries, spark, sf_dir, "attribution_linear"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_business_day_latency_closed_form_no_explode(spark, sf_dir, queries):
+    """Business-day math must be the closed form — no calendar-spine
+    Generate/explode multiplying the fact table."""
+    p = plan_of(_build(queries, spark, sf_dir, "business_day_latency"))
+    assert "Generate" not in p

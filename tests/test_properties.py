@@ -344,3 +344,28 @@ def test_twap_matches_bruteforce_integral(spark, obs):
         )
         expect[u] = (span, num)
     assert got == expect
+
+
+@given(
+    d1=st.integers(min_value=0, max_value=5000),
+    span=st.integers(min_value=0, max_value=400),
+)
+@settings(**SETTINGS)
+def test_business_day_formula_matches_model(spark, d1, span):
+    """The closed-form g(d2)-g(d1) must equal a literal weekday walk for
+    arbitrary date pairs (weekend starts, same-day, multi-year spans)."""
+    import datetime as dt
+
+    anchor = dt.date(1990, 1, 1)  # Monday
+    a = anchor + dt.timedelta(days=d1)
+    b = a + dt.timedelta(days=span)
+    expected = sum(
+        1
+        for i in range(span)
+        if (a + dt.timedelta(days=i)).weekday() < 5
+    )
+
+    def g(n):
+        return 5 * (n // 7) + min(n % 7, 5)
+
+    assert g((b - anchor).days) - g((a - anchor).days) == expected
