@@ -367,7 +367,61 @@ FROM ranked WHERE rn <= {RATE_CAP_PER_DAY}
 """
 
 
+WS_TOP_K = 100
+_U_SCALE = float(1 << 60)  # md5_long is 60-bit; (h+1)/2^60 ∈ (0, 1], exact
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    exponential-key scheme: each doc draws a deterministic uniform
+    u = (md5+1)/2^60 (division by a power of two — the double is exact)
+    and ranks by key = ln(u)/w; the top-k keys ARE a weighted
+    without-replacement sample. This is the one-pass distributed answer
+    to a problem reservoir sampling solves sequentially: keys are a pure
+    row property, so the plan is scan → TakeOrdered (per-partition k-heap,
+    k rows to the driver, mergeable across shards) with no shuffle of the
+    data itself — and unlike an actual reservoir, the result is identical
+    under any partitioning and replay (PPS/Poisson sampling in
+    `pps_sample` is the with-replacement/expected-size counterpart).
+    Weight = n_chars: longer docs proportionally likelier, the standard
+    size-biased curation draw."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(_U_SCALE)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", F.col("n_chars").alias("w"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(WS_TOP_K)
+        .select(
+            "doc_id", "w",
+            (F.floor(F.col("es_key") * F.lit(1e9)) / F.lit(1e9))
+            .alias("es_key_trunc"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS w,
+         ln(({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+            / {_U_SCALE!r}) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, w,
+       FLOOR(es_key * 1000000000.0) / 1000000000.0 AS es_key_trunc
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {WS_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "weighted_sample_topk": QuerySpec(
+        weighted_sample_topk, WEIGHTED_SAMPLE_TOPK_SQL,
+        "Efraimidis-Spirakis weighted without-replacement top-k sample",
+    ),
     "rate_limit_sample": QuerySpec(
         rate_limit_sample,
         RATE_LIMIT_SAMPLE_SQL,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import cents, ftrunc
+from ..functions.numeric import cents, ftrunc, sql_ftrunc
 from ..spec import QuerySpec
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,6 +1211,67 @@ GROUP BY pk
 """
 
 
+EWMA_ALPHA = 0.25  # exactly representable in binary → 1-α = 0.75 exact too
+
+
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the recursive smoother (s_t = (1-α)·s_{t-1} + α·x_t, s_0 = x_0) that
+    no built-in window frame can express because every output depends on
+    the unbounded prefix THROUGH a non-associative recurrence.
+
+    Composition instead of Python: collect each user's series as
+    struct-sorted arrays (order recovered by array_sort over a zero-padded
+    (epoch-µs, event_id) key — never a bare collect_list) and fold with
+    `F.aggregate`. The fold order is total and identical to the oracle's
+    `list_reduce`, and α = 0.25 / 1-α = 0.75 are exact binary fractions,
+    so the IEEE double result is bit-identical cross-engine — a custom
+    operator with a real oracle, not a tolerance check. Per-user series
+    length bounds memory; at 100 TB-scale series lengths, swap the array
+    fold for `applyInPandas` streaming the same recurrence — identical
+    semantics, constant memory (SCALE.md)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.format_string(
+        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    series = (
+        e.select("user_id", key.alias("k"), F.col("value").alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("x")))),
+                lambda s: s.getField("x"),
+            ).alias("xs")
+        )
+    )
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: acc * F.lit(1.0 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").alias("n_events"),
+        ftrunc(folded, 6).alias("ewma"),
+    )
+
+
+EWMA_SMOOTHING_SQL = f"""
+WITH series AS (
+  SELECT user_id,
+         list(value ORDER BY printf('%020d:%010d', epoch_us(ts), event_id))
+             AS xs
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS INTEGER) AS n_events,
+       {sql_ftrunc(
+           f"list_reduce(xs, (acc, x) -> acc * {1.0 - EWMA_ALPHA!r}"
+           f" + x * {EWMA_ALPHA!r})", 6)} AS ewma
+FROM series
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "fifo_allocation": QuerySpec(
         fifo_allocation,
@@ -1268,6 +1329,10 @@ QUERIES: dict[str, QuerySpec] = {
         "ordered view→click→purchase funnel, one shuffle for 3 stages",
     ),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SUM_SQL, "running sum per key (W1)"),
+    "ewma_smoothing": QuerySpec(
+        ewma_smoothing, EWMA_SMOOTHING_SQL,
+        "per-user EWMA via order-fixed array fold (non-frame recurrence)",
+    ),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
     "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),
     "window_range_30d": QuerySpec(window_range_30d, WINDOW_RANGE_30D_SQL, "reference-width 30-day range frame (W3)"),

@@ -149,6 +149,8 @@ HEADLINE = [
     "attribution_linear",
     "business_day_latency",
     "ann_recall_report",
+    "ewma_smoothing",
+    "weighted_sample_topk",
 ]
 
 

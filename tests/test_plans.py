@@ -520,3 +520,20 @@ def test_business_day_latency_closed_form_no_explode(spark, sf_dir, queries):
     Generate/explode multiplying the fact table."""
     p = plan_of(_build(queries, spark, sf_dir, "business_day_latency"))
     assert "Generate" not in p
+
+
+def test_ewma_single_exchange_no_python(spark, sf_dir, queries):
+    """The per-user series build is ONE user_id hash exchange; the fold is
+    a JVM higher-order expression, never a Python eval node."""
+    p = plan_of(_build(queries, spark, sf_dir, "ewma_smoothing"))
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir, queries):
+    """Top-k by the E-S key must plan as TakeOrderedAndProject (per-
+    partition heap) over the scan — no shuffle of the data, no global
+    sort."""
+    p = plan_of(_build(queries, spark, sf_dir, "weighted_sample_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
