@@ -462,7 +462,88 @@ FROM ranked WHERE rn <= {_RATE_CAP}
 """
 
 
+_EWMA_OUT = "user_id long, n_events int, ewma double"
+_EWMA_STATE = "n long, s double"
+
+
+def _update_ewma(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: "GroupState") -> Iterator[pd.DataFrame]:
+    """Online EWMA: state is (count, smoothed value) — 16 bytes per user.
+    The fold is a scalar Python loop ON PURPOSE: the closed-form
+    vectorization (Σ α(1-α)^k x) reassociates the float ops and would
+    break bit-parity with the batch fold; sequential s←0.75·s+0.25·x in
+    CPython doubles is the IDENTICAL IEEE op sequence as Spark's
+    F.aggregate fold and DuckDB's list_reduce."""
+    import math
+
+    from ..operators.windows import EWMA_ALPHA
+
+    user_id = key[0]
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
+        for x in pdf["value"].to_numpy():
+            x = float(x)
+            s = x if n == 0 else s * (1.0 - EWMA_ALPHA) + x * EWMA_ALPHA
+            n += 1
+    state.update((n, s))
+    if n > 0:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "ewma": [math.floor(s * 1e6) / 1e6],
+            }
+        )
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch EWMA (`windows.py::ewma_smoothing`) as an ONLINE stateful
+    operator — the second streaming/batch parity proof beside
+    `streaming_rate_limit`, and the stronger one: the carried state is a
+    FLOAT, so parity holds only because the per-event op sequence is
+    bit-identical to the batch fold (and to the oracle's list_reduce).
+    applyInPandasWithState carries (n, s) per user across micro-batches;
+    each event updates in O(1) — the constant-memory form the batch
+    docstring promises for series that outgrow arrays."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_ewma"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _streaming_ewma_sql() -> str:
+    from ..operators.windows import EWMA_SMOOTHING_SQL
+
+    return EWMA_SMOOTHING_SQL
+
+
+STREAMING_EWMA_SQL = _streaming_ewma_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_ewma": QuerySpec(
+        streaming_ewma, STREAMING_EWMA_SQL,
+        "online float-state EWMA ≡ batch array fold (parity proof)",
+    ),
     "streaming_rate_limit": QuerySpec(
         streaming_rate_limit, STREAMING_RATE_LIMIT_SQL,
         "online first-N-per-day throttle ≡ batch rate limiter (parity proof)",

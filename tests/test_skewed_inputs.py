@@ -37,6 +37,12 @@ _KEYS = [
     "groupby_stats",
     "skew_salted_join",
     "streaming_anomaly",
+    # one user owns EVERY event: the whole series lands in one array fold /
+    # one state group — the worst case for the EWMA pair and the
+    # interval-join attribution
+    "ewma_smoothing",
+    "streaming_ewma",
+    "attribution_linear",
 ]
 
 
