@@ -820,6 +820,112 @@ FROM rows_ GROUP BY dim
 """
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (public recipe: cluster the
+    embedding space, deduplicate only WITHIN clusters): every vector is
+    assigned to its nearest coarse cell (the ann_ivf quantizer — here
+    deterministic so the oracle replays it; k-means|| at scale), and the
+    cosine pair scan runs per cell — cost n²/C for balanced cells instead
+    of n², and C grows with the corpus. A vector is dropped when a
+    LOWER-id vector in its cell clears the similarity threshold, so
+    survivors are unique, deterministic, and independent of evaluation
+    order. Output: per vector, its cell, cell size, number of lower-id
+    near-duplicates, and the keep verdict — `WHERE keep` is the pruned
+    corpus. Complements `dedup_embedding_cosine` (banded LSH pairs): LSH
+    answers "which pairs", SemDeDup answers "which copies to train on"
+    with bounded per-cell cost."""
+    e = _corpus(spark, sf_dir)
+    centroids = (
+        e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + N_CELLS - 1))
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"))
+    )
+    cells = _ivf_assignments(e, centroids, 1, "vec_id")
+    members = cells.join(e, "vec_id")
+    sizes = members.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("cell_size")
+    )
+    a = members.select(
+        "cell_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = members.select(
+        "cell_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    dup_of_bigger = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("b_id", sim.alias("s"))
+        .filter(F.col("s") >= SEMDEDUP_THRESHOLD)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_lower"))
+    )
+    return (
+        members.select("vec_id", "cell_id")
+        .join(sizes, "cell_id")
+        .join(
+            dup_of_bigger.withColumnRenamed("b_id", "vec_id"), "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            "cell_size",
+            F.coalesce("n_dup_lower", F.lit(0)).alias("n_dup_lower"),
+            (F.coalesce("n_dup_lower", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES + N_CELLS - 1}
+),
+cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) DESC,
+                      cent.cell_id) AS crn
+    FROM e, cent
+  ) WHERE crn <= 1
+),
+members AS (
+  SELECT c.cell_id, e.vec_id, e.v, e.nrm FROM cells c JOIN e USING (vec_id)
+),
+sizes AS (
+  SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS cell_size
+  FROM members GROUP BY cell_id
+),
+dup_of_bigger AS (
+  SELECT b.vec_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lower
+  FROM members a JOIN members b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+          >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT m.vec_id, m.cell_id, s.cell_size,
+       COALESCE(d.n_dup_lower, 0) AS n_dup_lower,
+       COALESCE(d.n_dup_lower, 0) = 0 AS keep
+FROM members m
+JOIN sizes s ON s.cell_id = m.cell_id
+LEFT JOIN dup_of_bigger d ON d.b_id = m.vec_id
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation as a first-class operator: per-query recall@k of the
     banded-LSH ANN against the brute-force exact top-k. Both pipelines
@@ -866,6 +972,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall_report": QuerySpec(
         ann_recall_report, ANN_RECALL_REPORT_SQL,
         "per-query recall@k of banded LSH vs brute-force truth",
+    ),
+    "semdedup_prune": QuerySpec(
+        semdedup_prune, SEMDEDUP_PRUNE_SQL,
+        "within-cell semantic dedup pruning (SemDeDup recipe)",
     ),
     "embedding_drift": QuerySpec(
         embedding_drift,

@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_recall_report",
     "ewma_smoothing",
     "weighted_sample_topk",
+    "semdedup_prune",
 ]
 
 

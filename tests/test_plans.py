@@ -537,3 +537,12 @@ def test_weighted_sample_is_takeordered(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "weighted_sample_topk"))
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_semdedup_pairs_only_within_cells(spark, sf_dir, queries):
+    """The pair scan must be the cell_id equi join (n²/C per balanced
+    cell) — never a global all-pairs nested loop; the quantizer table
+    broadcasts."""
+    p = plan_of(_build(queries, spark, sf_dir, "semdedup_prune"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
