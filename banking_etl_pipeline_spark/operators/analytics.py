@@ -1267,10 +1267,13 @@ def bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
-    # step 1: every customer splits RANK_SCALE across its suppliers
+    # step 1: every customer splits RANK_SCALE across its suppliers.
+    # Exact integer `div`, matching the oracle's `//` bit-for-bit: the
+    # double form floor(x / y) drifts once the numerator outgrows ~2^45
+    # (div error > 1/denominator), the ADVICE-r1 HLL pattern.
     supplier_mass = (
         edges.join(cdeg, "c")
-        .select("s", F.floor(F.lit(RANK_SCALE) / F.col("cd")).alias("share"))
+        .select("s", F.expr(f"{RANK_SCALE} div cd").alias("share"))
         .groupBy("s")
         .agg(F.sum("share").alias("s_mass"))
     )
@@ -1278,7 +1281,7 @@ def bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer_mass = (
         edges.join(sdeg, "s")
         .join(supplier_mass, "s")
-        .select("c", F.floor(F.col("s_mass") / F.col("sd")).alias("share"))
+        .select("c", F.expr("s_mass div sd").alias("share"))
         .groupBy("c")
         .agg(F.sum("share").alias("rank_mass"))
     )

@@ -881,12 +881,16 @@ def peak_daily_concurrency(intervals: DataFrame) -> DataFrame:
     emit ±1 boundary rows, running-sum per day. Returns
     (dayn, peak_concurrency, n_sessions) — property-tested against a
     brute-force overlap counter in tests/test_properties.py."""
+    # exact integer `div` (not floor of a double quotient): epoch-µs values
+    # exceed 2^52, where double division error reaches whole µs and can
+    # misbucket a day-boundary event (ADVICE-r1 HLL pattern; the oracle
+    # uses `//`)
     per_day = intervals.select(
         "s_us",
         "e_us",
         F.explode(
             F.sequence(
-                F.floor(F.col("s_us") / DAY_US), F.floor(F.col("e_us") / DAY_US)
+                F.expr(f"s_us div {DAY_US}"), F.expr(f"e_us div {DAY_US}")
             )
         ).alias("dayn"),
     )
@@ -934,8 +938,8 @@ iv AS (
 ),
 per_day AS (
   SELECT s_us, e_us,
-         unnest(generate_series(CAST(FLOOR(s_us / 86400000000) AS BIGINT),
-                                CAST(FLOOR(e_us / 86400000000) AS BIGINT))) AS dayn
+         unnest(generate_series(s_us // 86400000000,
+                                e_us // 86400000000)) AS dayn
   FROM iv
 ),
 clipped AS (
