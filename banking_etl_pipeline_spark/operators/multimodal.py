@@ -263,7 +263,92 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_SR = 8_000   # declared sample rate (Hz) for the byte-PCM modality
+AUDIO_FRAME = 400  # samples per analysis window (50 ms @ 8 kHz)
+AUDIO_HOP = 200    # hop (50% overlap)
+
+AUDIO_SCHEMA = (
+    "doc_id long, window_idx int, start_ms int, n_samples int,"
+    " energy_sum long, peak_amp int"
+)
+
+
+def _audio_window_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: byte-PCM → overlapping analysis windows with
+    integer energy (Σ(s−128)²) and peak amplitude — the VAD/silence-trim
+    primitive of an audio curation pipeline. The windowing math is REAL
+    (what a librosa front-end does before the model); only the codec that
+    would produce the PCM is the declared stub. All outputs are exact
+    integers, so the oracle replay is bit-for-bit."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "window_idx", "start_ms", "n_samples",
+                 "energy_sum", "peak_amp")}
+        for doc_id, data in zip(pdf["doc_id"], pdf["audio_bytes"]):
+            arr = np.frombuffer(bytes(data), dtype=np.uint8).astype(
+                np.int64) - 128
+            n = len(arr)
+            n_windows = (n + AUDIO_HOP - 1) // AUDIO_HOP if n else 0
+            for k in range(n_windows):
+                seg = arr[k * AUDIO_HOP: k * AUDIO_HOP + AUDIO_FRAME]
+                rows["doc_id"].append(doc_id)
+                rows["window_idx"].append(k)
+                rows["start_ms"].append(k * AUDIO_HOP * 1000 // AUDIO_SR)
+                rows["n_samples"].append(len(seg))
+                rows["energy_sum"].append(int((seg * seg).sum()))
+                rows["peak_amp"].append(int(np.abs(seg).max()))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn(
+        "audio_bytes", F.encode(F.col("text"), "utf-8")
+    )
+    return d.select("doc_id", "audio_bytes").mapInPandas(
+        _audio_window_batches, schema=AUDIO_SCHEMA
+    )
+
+
+# Oracle replays the windowing over character codes (ASCII corpus →
+# ascii(substr) == byte value, same assumption as the other multimodal
+# oracles); energy/peak are integer list folds.
+MULTIMODAL_AUDIO_WINDOWS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+w AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, (n + {AUDIO_HOP} - 1) // {AUDIO_HOP})) AS k
+  FROM base WHERE n > 0
+),
+seg AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS window_idx,
+         CAST(k * {AUDIO_HOP} * 1000 // {AUDIO_SR} AS INTEGER) AS start_ms,
+         CAST(least({AUDIO_FRAME}, n - k * {AUDIO_HOP}) AS INTEGER)
+             AS n_samples,
+         list_transform(
+           range(1, CAST(least({AUDIO_FRAME}, n - k * {AUDIO_HOP}) AS BIGINT)
+                    + 1),
+           i -> ascii(substr(text, CAST(k * {AUDIO_HOP} + i AS INTEGER), 1))
+                - 128) AS s
+  FROM w
+)
+SELECT doc_id, window_idx, start_ms, n_samples,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy_sum,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_amp
+FROM seg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_audio_windows": QuerySpec(
+        multimodal_audio_windows, MULTIMODAL_AUDIO_WINDOWS_SQL,
+        "byte-PCM overlapping analysis windows: integer energy + peak",
+    ),
     "multimodal_decode": QuerySpec(
         multimodal_decode, MULTIMODAL_DECODE_SQL,
         "binary column → Arrow-batched decode (stub kernel)",

@@ -152,6 +152,7 @@ HEADLINE = [
     "ewma_smoothing",
     "weighted_sample_topk",
     "semdedup_prune",
+    "multimodal_audio_windows",
 ]
 
 
