@@ -820,6 +820,91 @@ FROM rows_ GROUP BY dim
 """
 
 
+N_ANCHORS = 20  # vec_id < 20 serve as the mining anchor set
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining over the labeled embedding corpus:
+    for each anchor, the hardest POSITIVE (lowest-cosine same-label vector
+    — the stretch the encoder must still pull together) and the hardest
+    NEGATIVE (highest-cosine different-label vector — the imposter it must
+    push apart), plus the margin between them. This is the triplet-mining
+    pass that turns a labeled embedding table into training pairs; margin
+    < 0 flags anchors whose nearest imposter already beats their farthest
+    in-class mate (the examples worth training on first).
+
+    Plan: the anchor set broadcasts (fixed, tiny) against one corpus scan;
+    per anchor the two extremes come from ONE conditional min_by/max_by
+    hash aggregate on zero-padded sortable keys (cosine quantized to
+    integer millionths so the key sort is exact and engine-independent) —
+    never a rank window over the anchor×corpus pair stream. At 100 TB the
+    corpus side streams; anchors scale by batching (each batch is another
+    broadcast)."""
+    e = _corpus(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ev = e.join(lab, "vec_id")
+    anchors = ev.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+        F.col("v").alias("av"), F.col("nrm").alias("an"),
+    )
+    sim = dot(F.col("av"), F.col("v")) / (F.col("an") * F.col("nrm"))
+    # integer-millionths cosine for exact zero-padded sort keys; +2e6
+    # offset keeps the value positive for %07d
+    simq = F.floor(sim * F.lit(1_000_000.0) + F.lit(2_000_000.5)).cast("long")
+    pairs = (
+        F.broadcast(anchors)
+        .join(ev, F.col("a_id") != F.col("vec_id"))
+        .select(
+            "a_id", "a_label",
+            F.col("vec_id").alias("c_id"),
+            (F.col("label") == F.col("a_label")).alias("same"),
+            simq.alias("sq"),
+        )
+    )
+    key = F.format_string(
+        "%07d:%010d", F.col("sq"), F.lit(9_999_999_999) - F.col("c_id")
+    )
+    mined = pairs.groupBy("a_id", "a_label").agg(
+        F.min_by("c_id", F.when(F.col("same"), key)).alias("hard_pos"),
+        F.min(F.when(F.col("same"), F.col("sq"))).alias("pos_sq"),
+        F.max_by("c_id", F.when(~F.col("same"), key)).alias("hard_neg"),
+        F.max(F.when(~F.col("same"), F.col("sq"))).alias("neg_sq"),
+    )
+    return mined.select(
+        "a_id", "a_label", "hard_pos", "hard_neg",
+        (F.col("pos_sq") - F.lit(2_000_000)).alias("pos_sim_micro"),
+        (F.col("neg_sq") - F.lit(2_000_000)).alias("neg_sim_micro"),
+        (F.col("pos_sq") - F.col("neg_sq")).alias("margin_micro"),
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH e AS (
+  SELECT emb.vec_id, emb.label, emb.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(emb.embedding::DOUBLE[],
+                               emb.embedding::DOUBLE[])) AS nrm
+  FROM embeddings emb
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS c_id,
+         c.label = a.label AS same,
+         CAST(FLOOR(list_dot_product(a.v, c.v) / (a.nrm * c.nrm)
+                    * 1000000.0 + 2000000.5) AS BIGINT) AS sq
+  FROM e a JOIN e c ON a.vec_id < {N_ANCHORS} AND a.vec_id <> c.vec_id
+),
+keyed AS (
+  SELECT *, printf('%07d:%010d', sq, 9999999999 - c_id) AS k FROM pairs
+)
+SELECT a_id, a_label,
+       arg_min(c_id, k) FILTER (same) AS hard_pos,
+       arg_max(c_id, k) FILTER (NOT same) AS hard_neg,
+       MIN(sq) FILTER (same) - 2000000 AS pos_sim_micro,
+       MAX(sq) FILTER (NOT same) - 2000000 AS neg_sim_micro,
+       MIN(sq) FILTER (same) - MAX(sq) FILTER (NOT same) AS margin_micro
+FROM keyed GROUP BY a_id, a_label
+"""
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -976,6 +1061,10 @@ QUERIES: dict[str, QuerySpec] = {
     "semdedup_prune": QuerySpec(
         semdedup_prune, SEMDEDUP_PRUNE_SQL,
         "within-cell semantic dedup pruning (SemDeDup recipe)",
+    ),
+    "hard_negative_mining": QuerySpec(
+        hard_negative_mining, HARD_NEGATIVE_MINING_SQL,
+        "per-anchor hardest in-batch positive/negative by cosine",
     ),
     "embedding_drift": QuerySpec(
         embedding_drift,

@@ -153,6 +153,7 @@ HEADLINE = [
     "weighted_sample_topk",
     "semdedup_prune",
     "multimodal_audio_windows",
+    "hard_negative_mining",
 ]
 
 

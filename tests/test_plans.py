@@ -546,3 +546,12 @@ def test_semdedup_pairs_only_within_cells(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "semdedup_prune"))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
+
+
+def test_hard_negative_mining_single_aggregate(spark, sf_dir, queries):
+    """The two extremes per anchor must come from ONE conditional
+    min_by/max_by aggregate over the broadcast anchor join — no rank
+    window over the pair stream, no cartesian."""
+    p = plan_of(_build(queries, spark, sf_dir, "hard_negative_mining"))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
