@@ -154,6 +154,12 @@ HEADLINE = [
     "semdedup_prune",
     "multimodal_audio_windows",
     "hard_negative_mining",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_lsh",
+    "text_token_count",
+    "text_lang_id",
+    "text_fingerprint",
 ]
 
 
