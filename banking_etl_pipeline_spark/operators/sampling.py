@@ -417,7 +417,152 @@ LIMIT {WS_TOP_K}
 """
 
 
+MIX_WEIGHTS_BP = {"en": 4000, "de": 2000, "es": 2000, "fr": 2000}
+MIX_BUDGET_DIV = 2  # budget = total corpus tokens div 2
+
+
+def _mix_weight() -> Column:
+    w = None
+    for lang, bp in MIX_WEIGHTS_BP.items():
+        cond = F.col("lang") == lang
+        w = F.when(cond, bp) if w is None else w.when(cond, bp)
+    return w.otherwise(F.lit(0)).cast("long")
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing allocation planner: split a token budget across language
+    strata by target weights, capped by each stratum's availability —
+    the plan a pre-training mixture job executes before sampling.
+
+    Water-filling in three deterministic integer rounds: (1) proportional
+    ask capped at availability, (2) the leftover re-split across
+    UNSATURATED strata by their weights, (3) the final residue handed to
+    the stratum with the most remaining capacity (tie → lang ascending).
+    Every product uses the split form `(a div m)·w + ((a mod m)·w) div m`
+    = exact floor(a·w/m) without ever forming a·w — at 100 TB budgets
+    (B ~ 10^15 tokens) the naive product overflows int64 silently in
+    Spark while DuckDB errors, the asymmetric-failure pattern ADVICE r1
+    flagged on PMI. Everything after the per-stratum aggregate is
+    ≤|langs| rows of integer algebra."""
+    d = table(spark, sf_dir, "documents")
+    avail = (
+        d.select("lang", F.size(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("avail"))
+        .select("lang", "avail", _mix_weight().alias("w"))
+    )
+    tot = avail.agg(
+        F.expr(f"sum(avail) div {MIX_BUDGET_DIV}").alias("budget"),
+    )
+
+    def _mul_div(a: str, w: str, m) -> str:
+        # exact floor(a*w/m) without forming a*w (int64 overflow guard)
+        return f"(({a} div {m}) * {w} + (({a} % {m}) * {w}) div {m})"
+
+    s1 = avail.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang", "avail", "w", "budget",
+        f"least(avail, {_mul_div('budget', 'w', 10000)}) AS a1",
+    )
+    agg1 = s1.selectExpr(
+        "a1", "CASE WHEN a1 < avail THEN w ELSE 0 END AS uw"
+    ).agg(
+        F.sum("a1").alias("sum1"), F.sum("uw").alias("unsat_w")
+    )
+    s2 = s1.crossJoin(F.broadcast(agg1)).selectExpr(
+        "lang", "avail", "w", "budget",
+        "a1",
+        "budget - sum1 AS l1",
+        "unsat_w",
+    ).selectExpr(
+        "lang", "avail", "w", "budget",
+        "a1 + CASE WHEN a1 < avail AND unsat_w > 0 THEN"
+        f" least(avail - a1, {_mul_div('l1', 'w', 'unsat_w')})"
+        " ELSE 0 END AS a2",
+    )
+    agg2 = s2.agg(F.sum("a2").alias("sum2"))
+    ranked = s2.crossJoin(F.broadcast(agg2)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy((F.col("avail") - F.col("a2")).desc(),
+                           F.col("lang").asc())
+        ),
+    )
+    return ranked.selectExpr(
+        "lang", "avail AS avail_tokens", "w AS weight_bp",
+        "a2 + CASE WHEN rn = 1 THEN least(budget - sum2, avail - a2)"
+        " ELSE 0 END AS allocated_tokens",
+    ).selectExpr(
+        "lang", "avail_tokens", "weight_bp", "allocated_tokens",
+        "allocated_tokens = avail_tokens AS saturated",
+        # 1e6, not 1000000.0: Spark's SQL parser types a dotted literal as
+        # DECIMAL, which would silently flip fill_ratio's column type
+        "FLOOR(CAST(allocated_tokens AS DOUBLE) / avail_tokens * 1e6)"
+        " / 1e6 AS fill_ratio",
+    )
+
+
+def _mixture_plan_sql() -> str:
+    w_case = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}"
+        for lang, bp in MIX_WEIGHTS_BP.items()
+    )
+
+    def md(a: str, w: str, m) -> str:
+        return f"(({a} // {m}) * {w} + (({a} % {m}) * {w}) // {m})"
+
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail,
+         CAST(CASE {w_case} ELSE 0 END AS BIGINT) AS w
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(avail) // {MIX_BUDGET_DIV} AS budget FROM avail),
+s1 AS (
+  SELECT lang, avail, w, budget,
+         least(avail, {md('budget', 'w', 10000)}) AS a1
+  FROM avail CROSS JOIN tot
+),
+agg1 AS (
+  SELECT SUM(a1) AS sum1,
+         SUM(CASE WHEN a1 < avail THEN w ELSE 0 END) AS unsat_w
+  FROM s1
+),
+s2 AS (
+  SELECT lang, avail, w, budget,
+         a1 + CASE WHEN a1 < avail AND unsat_w > 0
+                   THEN least(avail - a1,
+                              {md('(budget - sum1)', 'w', 'unsat_w')})
+                   ELSE 0 END AS a2
+  FROM s1 CROSS JOIN agg1
+),
+agg2 AS (SELECT SUM(a2) AS sum2 FROM s2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY avail - a2 DESC, lang ASC) AS rn
+  FROM s2 CROSS JOIN agg2
+),
+final AS (
+  SELECT lang, avail AS avail_tokens, w AS weight_bp,
+         a2 + CASE WHEN rn = 1 THEN least(budget - sum2, avail - a2)
+                   ELSE 0 END AS allocated_tokens
+  FROM ranked
+)
+SELECT lang, avail_tokens, weight_bp,
+       CAST(allocated_tokens AS BIGINT) AS allocated_tokens,
+       allocated_tokens = avail_tokens AS saturated,
+       FLOOR(CAST(allocated_tokens AS DOUBLE) / avail_tokens * 1000000.0)
+         / 1000000.0 AS fill_ratio
+FROM final
+"""
+
+
+MIXTURE_PLAN_SQL = _mixture_plan_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mixture_plan": QuerySpec(
+        mixture_plan, MIXTURE_PLAN_SQL,
+        "integer water-filling token-budget allocation across languages",
+    ),
     "weighted_sample_topk": QuerySpec(
         weighted_sample_topk, WEIGHTED_SAMPLE_TOPK_SQL,
         "Efraimidis-Spirakis weighted without-replacement top-k sample",

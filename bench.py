@@ -160,6 +160,7 @@ HEADLINE = [
     "text_token_count",
     "text_lang_id",
     "text_fingerprint",
+    "mixture_plan",
 ]
 
 

@@ -239,3 +239,25 @@ def test_dedup_survivors_one_per_cluster(spark, sf_dir):
         assert k.doc_id == k.survivor_doc
         assert all(k.n_chars >= m.n_chars for m in members), "not longest"
         assert len(members) == members[0].n_members
+
+
+def test_mixture_plan_conservation(spark, sf_dir):
+    """Water-filling invariants: per-stratum allocation never exceeds
+    availability, and the full budget (total div 2) is spent exactly
+    whenever unsaturated capacity remains."""
+    from banking_etl_pipeline_spark.operators.sampling import (
+        MIX_BUDGET_DIV,
+        mixture_plan,
+    )
+
+    rows = mixture_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["avail_tokens"] for r in rows)
+    budget = total // MIX_BUDGET_DIV
+    allocated = sum(r["allocated_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["avail_tokens"]
+    if any(not r["saturated"] and r["weight_bp"] > 0 for r in rows):
+        assert allocated == budget
+    else:
+        assert allocated <= budget
