@@ -1514,6 +1514,143 @@ FROM per_user
 """
 
 
+TRI_MIN_SUPPORT = 2  # co-purchase edge threshold (sparsifies the graph)
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph —
+    the clustering-structure probe (community detection / graph feature
+    engineering) whose naive 3-way self-join explodes on high-degree
+    hubs. The classic fix: orient every edge from its LOWER (degree, id)
+    endpoint to the higher one; then each triangle {x<y<z} is counted
+    exactly once as wedge (x→y, x→z) closed by y→z, and a vertex's
+    out-degree — hence the wedge count — is bounded by O(√E) regardless
+    of its raw degree. Two equi-joins total: wedge build on the center,
+    wedge close on the (b, c) pair. Edges are the basket-capped
+    co-purchase pairs at support ≥ TRI_MIN_SUPPORT (reusing
+    `basket_pairs`' blowup guard). Output: one summary row — edges,
+    closed wedges (= triangles), open-wedge count from the degree
+    distribution, and the global clustering coefficient
+    3·triangles / wedges (exact integer inputs, truncated double out)."""
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        lines.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BASKET_MAX_LINES)
+        .select("l_orderkey")
+    )
+    b = lines.join(small, "l_orderkey", "semi")
+    left = b.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("p1"))
+    right = b.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("p2"))
+    edges = (
+        left.join(right, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()  # consumed by degrees + orientation + closing join
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rank = deg.select(
+        "x", F.format_string("%010d:%010d", F.col("d"), F.col("x")).alias("r")
+    )
+    ru = rank.select(F.col("x").alias("u"), F.col("r").alias("ru"))
+    rv = rank.select(F.col("x").alias("v"), F.col("r").alias("rv"))
+    keyed = edges.join(ru, "u").join(rv, "v")
+    out = keyed.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v"))
+        .alias("a"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u"))
+        .alias("b"),
+        F.least("ru", "rv").alias("ra"),
+        F.greatest("ru", "rv").alias("rb"),
+    ).persist()
+    e1 = out.select("a", F.col("b").alias("w1"), F.col("rb").alias("k1"))
+    e2 = out.select("a", F.col("b").alias("w2"), F.col("rb").alias("k2"))
+    wedges = e1.join(e2, "a").filter(F.col("k1") < F.col("k2"))
+    closing = out.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.col("n_triangles") * 3.0 / F.col("n_wedges"),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "n_vertices", "n_edges", "n_wedges", "n_triangles",
+        ftrunc(cc, 6).alias("clustering_coeff"),
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+small AS (
+  SELECT l_orderkey FROM lines GROUP BY l_orderkey
+  HAVING COUNT(*) <= {BASKET_MAX_LINES}
+),
+b AS (
+  SELECT l.l_orderkey, l.l_partkey FROM lines l
+  WHERE l.l_orderkey IN (SELECT l_orderkey FROM small)
+),
+edges AS (
+  SELECT a.l_partkey AS u, c.l_partkey AS v
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+   AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x
+),
+rank_t AS (SELECT x, printf('%010d:%010d', d, x) AS r FROM deg),
+keyed AS (
+  SELECT e.u, e.v, ru.r AS ru, rv.r AS rv
+  FROM edges e JOIN rank_t ru ON ru.x = e.u JOIN rank_t rv ON rv.x = e.v
+),
+out_e AS (
+  SELECT CASE WHEN ru < rv THEN u ELSE v END AS a,
+         CASE WHEN ru < rv THEN v ELSE u END AS b,
+         GREATEST(ru, rv) AS rb
+  FROM keyed
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM out_e e1
+  JOIN out_e e2 ON e1.a = e2.a AND e1.rb < e2.rb
+  JOIN out_e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT s.n_vertices, CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       s.n_wedges, t.n_triangles,
+       {sql_ftrunc("CASE WHEN s.n_wedges > 0"
+                   " THEN t.n_triangles * 3.0 / s.n_wedges"
+                   " ELSE 0.0 END", 6)} AS clustering_coeff
+FROM stats s CROSS JOIN tri t
+"""
+
+
 ATTRIBUTION_WINDOW_DAYS = 7
 ATTRIBUTION_BP = 10_000  # total credit per conversion, basis points
 
@@ -1676,6 +1813,10 @@ QUERIES: dict[str, QuerySpec] = {
     "attribution_linear": QuerySpec(
         attribution_linear, ATTRIBUTION_LINEAR_SQL,
         "integer multi-touch attribution over a bounded interval join",
+    ),
+    "triangle_count": QuerySpec(
+        triangle_count, TRIANGLE_COUNT_SQL,
+        "degree-oriented triangle count + clustering coefficient",
     ),
     "business_day_latency": QuerySpec(
         business_day_latency, BUSINESS_DAY_LATENCY_SQL,

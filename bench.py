@@ -161,6 +161,7 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "mixture_plan",
+    "triangle_count",
 ]
 
 

@@ -555,3 +555,14 @@ def test_hard_negative_mining_single_aggregate(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "hard_negative_mining"))
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_triangle_count_oriented_equi_joins(spark, sf_dir, queries):
+    """Wedge build and close must be hash equi joins over the oriented
+    edge list — never a shuffled cartesian. (The 1-row summary
+    crossJoins broadcast, which is the accepted BNLJ-of-a-scalar
+    pattern.)"""
+    p = plan_of(_build(queries, spark, sf_dir, "triangle_count"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or \
+        "ShuffledHashJoin" in p
