@@ -82,7 +82,8 @@ def test_no_python_eval_in_hot_paths(spark, sf_dir, queries):
     multimodal operators (explicit Arrow mapInPandas plumbing) may run
     Python."""
     python_ok = {"multimodal_decode", "multimodal_resize",
-                 "multimodal_features", "multimodal_frame_sample"}
+                 "multimodal_features", "multimodal_frame_sample",
+                 "multimodal_audio_windows"}
     for key, spec in queries.items():
         if key in python_ok or key.startswith("streaming_"):
             continue
