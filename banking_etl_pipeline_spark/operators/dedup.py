@@ -688,7 +688,91 @@ WHERE abs(length(in_name) - length(c_name)) <= 1
 """
 
 
+def minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation as a first-class operator: the MinHash-LSH
+    pair detector scored against the exact df-capped Jaccard truth at the
+    SAME threshold — pair-level precision and recall, the measurement that
+    justifies (or retunes) N_HASHES/N_BANDS before anyone trusts the
+    sketch at corpus scale. Truth pairs: exact Jaccard ≥
+    MINHASH_EST_THRESHOLD; predicted: LSH candidates with signature
+    agreement ≥ the same threshold. One full-outer join on the pair key →
+    four exact counts → truncated ratios. Both inputs are this module's
+    own deterministic pipelines, so the evaluation itself is
+    oracle-checked — the same discipline as `ann_recall_report`."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= MINHASH_EST_THRESHOLD
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    pred = minhash_lsh_cached(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("p")
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full")
+    agg = j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("p", F.lit(0))).alias("n_pred"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("p").isNotNull()).cast("long")
+        ).alias("n_hit"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("n_hit").cast("double") / F.col("n_pred"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.col("n_hit").cast("double") / F.col("n_truth"),
+    ).otherwise(F.lit(0.0))
+    from ..functions.numeric import ftrunc
+
+    return agg.select(
+        "n_truth", "n_pred", "n_hit",
+        ftrunc(prec, 6).alias("precision"),
+        ftrunc(rec, 6).alias("recall"),
+    )
+
+
+def _minhash_eval_sql() -> str:
+    from ..functions.numeric import sql_ftrunc
+
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, 1 AS t FROM ({DEDUP_NGRAM_JACCARD_SQL}) z
+  WHERE jaccard >= {MINHASH_EST_THRESHOLD}
+),
+pred AS (
+  SELECT doc_a, doc_b, 1 AS p FROM ({DEDUP_MINHASH_LSH_SQL}) z
+),
+j AS (
+  SELECT COALESCE(tr.doc_a, pr.doc_a) AS doc_a,
+         COALESCE(tr.doc_b, pr.doc_b) AS doc_b, tr.t, pr.p
+  FROM truth tr FULL OUTER JOIN pred pr
+    ON tr.doc_a = pr.doc_a AND tr.doc_b = pr.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS n_truth,
+         CAST(SUM(COALESCE(p, 0)) AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN t IS NOT NULL AND p IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM j
+)
+SELECT n_truth, n_pred, n_hit,
+       {sql_ftrunc("CASE WHEN n_pred > 0"
+                   " THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END", 6)}
+           AS precision,
+       {sql_ftrunc("CASE WHEN n_truth > 0"
+                   " THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END", 6)}
+           AS recall
+FROM agg
+"""
+
+
+MINHASH_EVAL_SQL = _minhash_eval_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "minhash_eval": QuerySpec(
+        minhash_eval, MINHASH_EVAL_SQL,
+        "MinHash-LSH precision/recall vs exact Jaccard truth",
+    ),
     "fuzzy_join": QuerySpec(
         fuzzy_join,
         FUZZY_JOIN_SQL,

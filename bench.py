@@ -162,6 +162,7 @@ HEADLINE = [
     "text_fingerprint",
     "mixture_plan",
     "triangle_count",
+    "minhash_eval",
 ]
 
 
