@@ -379,7 +379,87 @@ ORDER BY predicted_lang
 """
 
 
+TRIM_DECILE_DIV = 10  # cut the bottom and top n div 10 docs per language
+
+
+def decile_trim_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shaped quality gate: per language, drop the shortest
+    and longest decile of documents by token count — the tail trim every
+    corpus recipe applies (too-short = fragments/boilerplate, too-long =
+    concatenation junk) before content filters run.
+
+    Exact integer formulation — no percentile interpolation: rank docs
+    per language on the total order (token_count, doc_id), cut at
+    lo = n div 10 and hi = n − n div 10, keep ranks (lo, hi]. The cuts
+    are reproducible on any engine and any partitioning because the
+    order is total and the cut points are integers. One rank window per
+    language + one summary aggregate; at 100 TB the window sort is the
+    only per-language cost and rides a single hash exchange. Summary per
+    language: doc counts, kept band, and the kept band's token-length
+    bounds — the dataset-card numbers."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy(toks.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "lang", "doc_id", toks.alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    kept = (F.col("rn") > F.expr(f"n div {TRIM_DECILE_DIV}")) & (
+        F.col("rn") <= F.col("n") - F.expr(f"n div {TRIM_DECILE_DIV}")
+    )
+    return (
+        ranked.select("lang", "n_tokens", kept.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.min(F.when(F.col("keep"), F.col("n_tokens"))).alias(
+                "kept_min_tokens"),
+            F.max(F.when(F.col("keep"), F.col("n_tokens"))).alias(
+                "kept_max_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .alias("kept_tokens"),
+        )
+    )
+
+
+DECILE_TRIM_GATE_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY len(string_split(text, ' ')), doc_id)
+             AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+flagged AS (
+  SELECT lang, n_tokens,
+         rn > n // {TRIM_DECILE_DIV}
+           AND rn <= n - n // {TRIM_DECILE_DIV} AS keep
+  FROM ranked
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN keep THEN n_tokens END) AS INTEGER)
+           AS kept_min_tokens,
+       CAST(MAX(CASE WHEN keep THEN n_tokens END) AS INTEGER)
+           AS kept_max_tokens,
+       CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+FROM flagged GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "decile_trim_gate": QuerySpec(
+        decile_trim_gate, DECILE_TRIM_GATE_SQL,
+        "per-language decile tail trim by exact integer rank cuts",
+    ),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_SQL, "token counting"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL, "BPE-ish regex pre-token counting"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_ID_SQL, "stopword-marker language ID"),

@@ -163,6 +163,7 @@ HEADLINE = [
     "mixture_plan",
     "triangle_count",
     "minhash_eval",
+    "decile_trim_gate",
 ]
 
 
