@@ -920,6 +920,71 @@ LIMIT {PMI_TOP_K}
 """
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, split documents into
+    head / middle / tail thirds by their LM score (the public CCNet
+    recipe — train on head+middle, inspect or drop tail). Ranks use the
+    TRUNCATED lm_score (the operator's own oracle-stable output) with a
+    doc_id tie-break, and the third-cuts are pure integer comparisons
+    (rn·3 vs n), so bucket assignment is exact on both engines — no
+    percentile interpolation, no float cut points. One rank window per
+    language over the per-doc score table; the LM pipeline itself is
+    `lm_score`'s (already shared/oracled) bigram plan. Summary per
+    (lang, bucket): doc count and the score band."""
+    scores = lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = scores.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = s.select(
+        "lang", "lm_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= F.col("n") * 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "lm_score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("lm_score").alias("best_score"),
+            F.min("lm_score").alias("worst_score"),
+        )
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lm_score FROM ({LM_SCORE_SQL}) z
+),
+ranked AS (
+  SELECT d.lang, s.lm_score,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.lm_score DESC, s.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scores s JOIN documents d USING (doc_id)
+),
+bucketed AS (
+  SELECT lang,
+         CASE WHEN rn * 3 <= n THEN 'head'
+              WHEN rn * 3 <= n * 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         lm_score
+  FROM ranked
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(lm_score) AS best_score,
+       MIN(lm_score) AS worst_score
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
 HASH_DIM = 1024  # feature-hashing target dimensionality
 
 
@@ -1007,6 +1072,10 @@ QUERIES: dict[str, QuerySpec] = {
         lm_score,
         LM_SCORE_SQL,
         "bigram-LM mean log-prob per doc (add-one smoothing)",
+    ),
+    "ccnet_buckets": QuerySpec(
+        ccnet_buckets, CCNET_BUCKETS_SQL,
+        "CCNet head/middle/tail thirds per language by LM score",
     ),
     "inverted_index": QuerySpec(
         inverted_index,

@@ -164,6 +164,7 @@ HEADLINE = [
     "triangle_count",
     "minhash_eval",
     "decile_trim_gate",
+    "ccnet_buckets",
 ]
 
 
