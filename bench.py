@@ -165,6 +165,7 @@ HEADLINE = [
     "minhash_eval",
     "decile_trim_gate",
     "ccnet_buckets",
+    "winnowing_fingerprint",
 ]
 
 
