@@ -438,7 +438,144 @@ FROM orig o LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+DECON_DROP_RATIO = 0.5  # drop docs sharing ≥50% of shingles with the bench
+
+
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining curation funnel, composed from this
+    engine's own gates and reported per language with CUMULATIVE stage
+    counts — the dataset-card table a curation run publishes:
+
+      raw → (1) decile length trim → (2) repetition quality rule →
+      (3) near-dup survivor selection → (4) decontamination + benchmark
+      holdout removal → final kept docs + token budget.
+
+    Every stage is a per-doc verdict from an already-oracled operator
+    family: exact rank cuts (decile_trim_gate's integer formulation),
+    `repetition_ratio.is_repetitive` (absent ⇒ fragment ⇒ fail),
+    `dedup_survivors.keep` over the session-cached LSH clusters (absent
+    ⇒ not a near-dup ⇒ keep), and `decontamination.contamination_ratio`
+    plus the md5 bench-holdout flag. The composition is doc_id left
+    joins of per-doc relations — at 100 TB each gate is the stage you'd
+    materialize, and the funnel is the bookkeeping join over those
+    stage tables. The DuckDB oracle replays every gate AND the
+    composition, so the funnel numbers themselves are hash-checked."""
+    from .corpus import REPETITION_RATIO_SQL  # noqa: F401 (oracle twin)
+    from .corpus import dedup_survivors, repetition_ratio
+    from .dedup import BENCH_MOD, decontamination
+    from .text import TRIM_DECILE_DIV
+
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nt").asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "doc_id", "lang", "nt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    trim_keep = (F.col("rn") > F.expr(f"n div {TRIM_DECILE_DIV}")) & (
+        F.col("rn") <= F.col("n") - F.expr(f"n div {TRIM_DECILE_DIV}")
+    )
+    rep = repetition_ratio(spark, sf_dir).select("doc_id", "is_repetitive")
+    surv = dedup_survivors(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("surv_keep")
+    )
+    dec = decontamination(spark, sf_dir).select(
+        "doc_id", "contamination_ratio"
+    )
+    bench = md5_long(
+        F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))
+    ) % BENCH_MOD == 0
+    s1 = F.col("s1")
+    s2 = s1 & ~F.coalesce("is_repetitive", F.lit(True))
+    s3 = s2 & F.coalesce("surv_keep", F.lit(True))
+    s4 = s3 & (
+        F.coalesce("contamination_ratio", F.lit(0.0)) < DECON_DROP_RATIO
+    ) & ~bench
+    j = (
+        ranked.select("doc_id", "lang", "nt", trim_keep.alias("s1"))
+        .join(rep, "doc_id", "left")
+        .join(surv, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select("lang", "nt", s1.alias("s1"), s2.alias("s2"),
+                s3.alias("s3"), s4.alias("s4"))
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("s1").cast("long")).alias("n_after_trim"),
+        F.sum(F.col("s2").cast("long")).alias("n_after_quality"),
+        F.sum(F.col("s3").cast("long")).alias("n_after_dedup"),
+        F.sum(F.col("s4").cast("long")).alias("n_final"),
+        F.sum(F.when(F.col("s4"), F.col("nt")).otherwise(0))
+        .alias("final_tokens"),
+    )
+
+
+def _curation_funnel_v2_sql() -> str:
+    from .corpus import DEDUP_SURVIVORS_SQL, REPETITION_RATIO_SQL
+    from .dedup import BENCH_MOD, DECONTAMINATION_SQL
+    from .text import TRIM_DECILE_DIV
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS nt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY len(string_split(text, ' ')), doc_id)
+             AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+rep AS (SELECT doc_id, is_repetitive FROM ({REPETITION_RATIO_SQL}) z),
+surv AS (SELECT doc_id, keep AS surv_keep FROM ({DEDUP_SURVIVORS_SQL}) z),
+dec AS (SELECT doc_id, contamination_ratio FROM ({DECONTAMINATION_SQL}) z),
+staged AS (
+  SELECT r.lang, r.nt,
+         r.rn > r.n // {TRIM_DECILE_DIV}
+           AND r.rn <= r.n - r.n // {TRIM_DECILE_DIV} AS s1,
+         COALESCE(rep.is_repetitive, TRUE) AS is_rep,
+         COALESCE(surv.surv_keep, TRUE) AS surv_keep,
+         COALESCE(dec.contamination_ratio, 0.0) AS cr,
+         {sql_md5_long("'bench:' || CAST(r.doc_id AS VARCHAR)")}
+           % {BENCH_MOD} = 0 AS bench
+  FROM ranked r
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN surv USING (doc_id)
+  LEFT JOIN dec USING (doc_id)
+),
+cum AS (
+  SELECT lang, nt, s1,
+         s1 AND NOT is_rep AS s2,
+         s1 AND NOT is_rep AND surv_keep AS s3,
+         s1 AND NOT is_rep AND surv_keep
+            AND cr < {DECON_DROP_RATIO} AND NOT bench AS s4
+  FROM staged
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_trim,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_quality,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN s4 THEN nt ELSE 0 END) AS BIGINT) AS final_tokens
+FROM cum GROUP BY lang
+"""
+
+
+CURATION_FUNNEL_V2_SQL = _curation_funnel_v2_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_funnel_v2": QuerySpec(
+        curation_funnel_v2, CURATION_FUNNEL_V2_SQL,
+        "cumulative trim→quality→dedup→decontamination funnel per language",
+    ),
     "dsir_importance": QuerySpec(
         dsir_importance, DSIR_IMPORTANCE_SQL,
         "hashed-feature importance resampling score (DSIR recipe)",

@@ -166,6 +166,7 @@ HEADLINE = [
     "decile_trim_gate",
     "ccnet_buckets",
     "winnowing_fingerprint",
+    "curation_funnel_v2",
 ]
 
 

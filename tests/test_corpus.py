@@ -289,3 +289,18 @@ def test_minhash_eval_bounds(spark, sf_dir):
     )
     assert 0.0 <= r["precision"] <= 1.0
     assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_curation_funnel_v2_monotone(spark, sf_dir):
+    """Funnel counts must be monotone non-increasing stage over stage and
+    the final token budget positive on the testdata."""
+    from banking_etl_pipeline_spark.operators.curation import (
+        curation_funnel_v2,
+    )
+
+    rows = curation_funnel_v2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r["n_docs"] >= r["n_after_trim"] >= r["n_after_quality"]
+                >= r["n_after_dedup"] >= r["n_final"] >= 0)
+    assert sum(r["final_tokens"] for r in rows) > 0
