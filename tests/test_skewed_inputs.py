@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from banking_etl_pipeline_spark.catalog import TABLES, table
 from banking_etl_pipeline_spark.registry import all_queries
 
-_SKEW_DIR = "/tmp/banking_etl_pipeline_spark_skewed"
+_SKEW_DIR = "/tmp/banking_etl_pipeline_spark_skewed_v2"
 
 # key-partitioned operators that must survive a single hot key
 _KEYS = [
@@ -43,6 +43,13 @@ _KEYS = [
     "ewma_smoothing",
     "streaming_ewma",
     "attribution_linear",
+    # one language owns EVERY document: the per-language rank windows and
+    # strata aggregates collapse to a single partition group
+    "decile_trim_gate",
+    "ccnet_buckets",
+    "stratified_sample",
+    "mixture_plan",
+    "curation_funnel_v2",
 ]
 
 
@@ -55,6 +62,8 @@ def skew_dir(spark, sf_dir):
                 df = df.withColumn("user_id", F.lit(1).cast("long"))
             elif t == "orders":
                 df = df.withColumn("o_custkey", F.lit(1).cast("long"))
+            elif t == "documents":
+                df = df.withColumn("lang", F.lit("en"))
             df.write.mode("overwrite").parquet(
                 os.path.join(_SKEW_DIR, f"{t}.parquet")
             )
