@@ -1215,6 +1215,94 @@ GROUP BY pk
 """
 
 
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — "which version was
+    valid when this fact happened", the temporal-join staple every
+    warehouse consumer of `scd2_intervals` runs. Each event looks up its
+    user's state version valid at the event's timestamp (version starts
+    are inclusive; two versions opening at the same instant resolve to
+    the later event_id, matching the interval build's empty-interval
+    semantics).
+
+    Scale shape: NOT a range join — version starts (kind 0) and probes
+    (kind 1) union into one stream, partition by user, order by
+    (ts, kind, event_id), and one last_value(..., ignorenulls) carries
+    the open version forward. Two same-key exchanges total (the
+    change-detection lag window, then the union carry window — the
+    second because the probe branch arrives unpartitioned), zero
+    interval explosion; a per-key range join would pay candidate blowup
+    on top. With the dimension maintained incrementally (versions
+    pre-materialized), the lookup itself is the single-shuffle
+    `asof_join` plan."""
+    e = table(spark, sf_dir, "events")
+    wchg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.select(
+            "user_id", "event_id", F.col("event_type").alias("state"),
+            "ts",
+            F.lag("event_type", 1).over(wchg).alias("prev_state"),
+        )
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        .select(
+            "user_id", "ts", F.lit(0).alias("k"),
+            F.col("event_id").alias("seq"), "state",
+        )
+    )
+    probes = e.select(
+        "user_id", "ts", F.lit(1).alias("k"),
+        F.col("event_id").alias("seq"), F.lit(None).cast("string")
+        .alias("state"),
+    )
+    u = versions.unionByName(probes)
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vfrom = F.when(F.col("k") == 0, F.col("ts"))
+    carried = u.select(
+        "user_id", "ts", "k", "seq",
+        F.last("state", ignorenulls=True).over(wcarry).alias("pit_state"),
+        F.last(vfrom, ignorenulls=True).over(wcarry).alias("pit_since"),
+    )
+    return carried.filter(F.col("k") == 1).select(
+        F.col("seq").alias("event_id"), "user_id", "ts",
+        "pit_state", "pit_since",
+    )
+
+
+SCD2_PIT_JOIN_SQL = """
+WITH versions AS (
+  SELECT user_id, ts, 0 AS k, event_id AS seq, event_type AS state
+  FROM (
+    SELECT user_id, event_id, event_type, ts,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+    FROM events
+  ) WHERE prev_state IS NULL OR prev_state <> event_type
+),
+probes AS (
+  SELECT user_id, ts, 1 AS k, event_id AS seq, CAST(NULL AS VARCHAR) AS state
+  FROM events
+),
+u AS (SELECT * FROM versions UNION ALL SELECT * FROM probes),
+carried AS (
+  SELECT user_id, ts, k, seq,
+         LAST_VALUE(state IGNORE NULLS) OVER w AS pit_state,
+         LAST_VALUE(CASE WHEN k = 0 THEN ts END IGNORE NULLS) OVER w
+             AS pit_since
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, k, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT seq AS event_id, user_id, ts, pit_state, pit_since
+FROM carried WHERE k = 1
+"""
+
+
 EWMA_ALPHA = 0.25  # exactly representable in binary → 1-α = 0.75 exact too
 
 
@@ -1336,6 +1424,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ewma_smoothing": QuerySpec(
         ewma_smoothing, EWMA_SMOOTHING_SQL,
         "per-user EWMA via order-fixed array fold (non-frame recurrence)",
+    ),
+    "scd2_pit_join": QuerySpec(
+        scd2_pit_join, SCD2_PIT_JOIN_SQL,
+        "point-in-time SCD2 version lookup via one-shuffle carry-forward",
     ),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
     "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),

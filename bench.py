@@ -167,6 +167,7 @@ HEADLINE = [
     "ccnet_buckets",
     "winnowing_fingerprint",
     "curation_funnel_v2",
+    "scd2_pit_join",
 ]
 
 

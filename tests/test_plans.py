@@ -567,3 +567,12 @@ def test_triangle_count_oriented_equi_joins(spark, sf_dir, queries):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or \
         "ShuffledHashJoin" in p
+
+
+def test_scd2_pit_join_carry_forward_no_range_join(spark, sf_dir, queries):
+    """The point-in-time lookup is union + carry-forward: at most two
+    same-key exchanges (change-detection window, carry window) and never
+    an interval range join or nested loop."""
+    p = plan_of(_build(queries, spark, sf_dir, "scd2_pit_join"))
+    assert p.count("hashpartitioning(user_id") <= 2
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
