@@ -51,6 +51,10 @@ GALLERY: dict[str, str] = {
     "dsir_importance": "One conditional aggregate builds both class count tables; the 1024-row LLR dictionary broadcasts onto the token stream.",
     "boilerplate_strip": "Vocabulary-sized keep set broadcast; order recovery via array_sort over (pos, token) structs inside the aggregate.",
     "banking_txn_pipeline": "Seeded chain reduced to a digest: integer cents window sums share one account_id exchange; bit_xor folds map-side.",
+    "scd2_pit_join": "Point-in-time lookup as union + carry-forward: two same-key exchanges, no interval range join.",
+    "curation_funnel_v2": "Four per-doc gate relations left-joined on doc_id; cluster stage read from the session cache (LogicalRDD).",
+    "winnowing_fingerprint": "Per-row array algebra end to end — no shuffle, no Generate; one md5 per shingle position.",
+    "triangle_count": "Degree-oriented wedge build/close as hash equi-joins; summary scalars ride broadcast 1-row joins.",
 }
 
 
