@@ -558,7 +558,73 @@ FROM final
 MIXTURE_PLAN_SQL = _mixture_plan_sql()
 
 
+def user_level_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split: assignment hashes the USER, not
+    the event — the split every per-user model evaluation needs, because
+    event-level splitting puts the same user's history on both sides and
+    the eval score silently measures memorization. md5-deterministic
+    (replayable, partition-independent, like `train_val_test_split`'s
+    row-level counterpart). The report proves the property the split
+    exists for: per split, event count, DISTINCT user count, and the
+    user-overlap count with the other splits — pinned to zero by
+    construction (each user hashes to exactly one split) and verified by
+    the oracle replay."""
+    e = table(spark, sf_dir, "events")
+    bucket = md5_long(
+        F.concat(F.lit("usplit:"), F.col("user_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = e.select("user_id", "event_id", split.alias("split"))
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    # overlap proof: users appearing in >1 split (zero by construction)
+    overlap = (
+        assigned.select("user_id", "split").distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_users"))
+    )
+    return per_split.crossJoin(F.broadcast(overlap))
+
+
+USER_LEVEL_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN {sql_md5_long("'usplit:' || CAST(user_id AS VARCHAR)")}
+                   % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN {sql_md5_long("'usplit:' || CAST(user_id AS VARCHAR)")}
+                   % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM assigned GROUP BY split
+),
+overlap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaky_users FROM (
+    SELECT user_id FROM (SELECT DISTINCT user_id, split FROM assigned)
+    GROUP BY user_id HAVING COUNT(*) > 1
+  )
+)
+SELECT p.split, p.n_events, p.n_users, o.leaky_users
+FROM per_split p CROSS JOIN overlap o
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "user_level_split": QuerySpec(
+        user_level_split, USER_LEVEL_SPLIT_SQL,
+        "user-hashed train/val/test split with zero-overlap proof",
+    ),
     "mixture_plan": QuerySpec(
         mixture_plan, MIXTURE_PLAN_SQL,
         "integer water-filling token-budget allocation across languages",

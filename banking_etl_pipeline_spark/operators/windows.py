@@ -1303,6 +1303,78 @@ FROM carried WHERE k = 1
 """
 
 
+def leakage_free_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly with NO TEMPORAL LEAKAGE — the feature-store
+    primitive: for every label event (purchase), the user's feature
+    vector computed from STRICTLY EARLIER events only. The classic bug
+    this shape prevents is same-row/future leakage from a plain
+    user-level aggregate join; here the exclusive window frame
+    (rowsBetween unbounded..-1 over the (ts, event_id) total order)
+    makes "as of just before the label" true by construction — the
+    point-in-time-correct join feature stores advertise.
+
+    Features: prior event count, prior exact cents total, prior
+    purchase count, seconds since the user's previous event. One
+    user_id exchange serves every feature window AND the label filter;
+    integer/cents outputs keep the oracle exact."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("label_type"),
+        cents(F.col("value")).alias("label_value_c"),
+        F.count(F.lit(1)).over(w).alias("prior_n"),
+        F.coalesce(F.sum(cents(F.col("value"))).over(w), F.lit(0))
+        .alias("prior_value_c"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("prior_purchases"),
+        (F.col("ts").cast("long")
+         - F.lag(F.col("ts").cast("long"), 1).over(wlag))
+        .alias("secs_since_prev"),
+    )
+    return feats.filter(F.col("label_type") == "purchase").select(
+        "event_id", "user_id", "label_value_c", "prior_n",
+        "prior_value_c", "prior_purchases", "secs_since_prev",
+    )
+
+
+LEAKAGE_FREE_FEATURES_SQL = """
+WITH feats AS (
+  SELECT event_id, user_id, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS label_value_c,
+         COUNT(*) OVER wex AS prior_n,
+         COALESCE(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER wex,
+                  0) AS prior_value_c,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER wex, 0) AS prior_purchases,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(LAG(ts) OVER wo)) AS BIGINT)
+             AS secs_since_prev
+  FROM events
+  WINDOW wex AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, label_value_c,
+       CAST(prior_n AS BIGINT) AS prior_n,
+       CAST(prior_value_c AS BIGINT) AS prior_value_c,
+       CAST(prior_purchases AS BIGINT) AS prior_purchases,
+       secs_since_prev
+FROM feats WHERE event_type = 'purchase'
+"""
+
+
 EWMA_ALPHA = 0.25  # exactly representable in binary → 1-α = 0.75 exact too
 
 
@@ -1428,6 +1500,10 @@ QUERIES: dict[str, QuerySpec] = {
     "scd2_pit_join": QuerySpec(
         scd2_pit_join, SCD2_PIT_JOIN_SQL,
         "point-in-time SCD2 version lookup via one-shuffle carry-forward",
+    ),
+    "leakage_free_features": QuerySpec(
+        leakage_free_features, LEAKAGE_FREE_FEATURES_SQL,
+        "label events + strictly-prior features via exclusive window frame",
     ),
     "window_lag": QuerySpec(window_lag, WINDOW_LAG_SQL, "lag + event gap (W2+P11)"),
     "window_range_7d": QuerySpec(window_range_7d, WINDOW_RANGE_7D_SQL, "range-frame rolling aggs (W3+A5)"),

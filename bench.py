@@ -168,6 +168,8 @@ HEADLINE = [
     "winnowing_fingerprint",
     "curation_funnel_v2",
     "scd2_pit_join",
+    "leakage_free_features",
+    "user_level_split",
 ]
 
 

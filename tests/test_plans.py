@@ -576,3 +576,12 @@ def test_scd2_pit_join_carry_forward_no_range_join(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "scd2_pit_join"))
     assert p.count("hashpartitioning(user_id") <= 2
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_leakage_free_features_exclusive_frame_one_exchange(
+        spark, sf_dir, queries):
+    """All feature windows and the label filter share ONE user_id
+    exchange; the frame must be exclusive (no same-row leakage) which the
+    oracle equality already proves — here we pin the shuffle count."""
+    p = plan_of(_build(queries, spark, sf_dir, "leakage_free_features"))
+    assert p.count("hashpartitioning(user_id") == 1
