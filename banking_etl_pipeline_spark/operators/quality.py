@@ -538,6 +538,76 @@ FROM lineitem
 PII_PATTERN = "[0-9]{2,}"  # digit-run detector (account/phone-number shape)
 
 
+K_ANON = 5  # minimum group size for the k-anonymity bar
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit — the privacy check that complements
+    `pii_mask`/`pii_scan`: how many customers sit in quasi-identifier
+    groups smaller than k (each such row is linkable by joining public
+    attributes). Two generalization levels report side by side, which IS
+    the k-anonymity workflow: the fine level (nation, segment, exact-
+    thousand balance band — integer-cents div, no float bucketing) fails
+    broadly, the generalized level (nation, segment) passes — the
+    evidence for choosing a release granularity. One hash aggregate per
+    level over the customer dim; counts are exact integers, so the
+    report is oracle bit-checked."""
+
+    def level(df: DataFrame, name: str, cols: list) -> DataFrame:
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < K_ANON).cast("long")).alias("n_violating"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            .alias("n_exposed_rows"),
+            F.min("n").alias("min_group_size"),
+        )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+    )
+    fine = level(c, "nation+segment+balance_band",
+                 ["c_nationkey", "c_mktsegment", "bal_band"])
+    general = level(c, "nation+segment", ["c_nationkey", "c_mktsegment"])
+    return fine.unionByName(general)
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) // 100000 AS bal_band
+  FROM customer
+),
+fine AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n
+  FROM c GROUP BY 1, 2, 3
+),
+gen AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n FROM c GROUP BY 1, 2
+)
+SELECT 'nation+segment+balance_band' AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+           AS n_exposed_rows,
+       CAST(MIN(n) AS BIGINT) AS min_group_size
+FROM fine
+UNION ALL
+SELECT 'nation+segment' AS level,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT),
+       CAST(MIN(n) AS BIGINT)
+FROM gen
+"""
+
+
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sensitive-data detector over a semi-structured column — the scan
     half of the compliance pair (`etl.py::pii_mask` is the remediation
@@ -631,6 +701,10 @@ QUERIES: dict[str, QuerySpec] = {
         dq_volume_trend,
         DQ_VOLUME_TREND_SQL,
         "day-over-day volume drop alerting over the daily rollup",
+    ),
+    "k_anonymity_audit": QuerySpec(
+        k_anonymity_audit, K_ANONYMITY_AUDIT_SQL,
+        "k=5 re-identification audit at two generalization levels",
     ),
     "pii_scan": QuerySpec(
         pii_scan,

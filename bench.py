@@ -170,6 +170,7 @@ HEADLINE = [
     "scd2_pit_join",
     "leakage_free_features",
     "user_level_split",
+    "k_anonymity_audit",
 ]
 
 
