@@ -491,6 +491,66 @@ FROM fps
 """
 
 
+VOCAB_K = 20  # closed-vocabulary size for the coverage audit
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health metric: what fraction of each language's token
+    occurrences a fixed closed vocabulary covers — the OOV-rate check
+    run before committing to a vocab/tokenizer (a language whose
+    coverage lags will fragment into bytes and train poorly).
+
+    The vocabulary is the corpus's own global top-VOCAB_K tokens under a
+    total order (count desc, token asc — deterministic at ties), so the
+    whole audit is self-contained and oracle-replayable: one token
+    explode feeds both the global counts (top-k via TakeOrdered) and the
+    per-language coverage join; the vocab broadcasts at any corpus size.
+    Exact integer occurrence counts; coverage is the only double."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            "lang", "n_tokens", "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_tokens"))
+            .alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, 1 AS in_vocab FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {VOCAB_K}
+  )
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(v.in_vocab, 0)) AS BIGINT) AS n_covered,
+       CAST(SUM(COALESCE(v.in_vocab, 0)) AS DOUBLE) / COUNT(*) AS coverage
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.lang
+"""
+
+
 TRIM_DECILE_DIV = 10  # cut the bottom and top n div 10 docs per language
 
 
@@ -575,6 +635,10 @@ QUERIES: dict[str, QuerySpec] = {
     "winnowing_fingerprint": QuerySpec(
         winnowing_fingerprint, WINNOWING_FINGERPRINT_SQL,
         "MOSS winnowing: rightmost-min k-gram fingerprints per doc",
+    ),
+    "vocab_coverage": QuerySpec(
+        vocab_coverage, VOCAB_COVERAGE_SQL,
+        "per-language OOV/coverage rate against the global top-k vocab",
     ),
     "text_token_count": QuerySpec(text_token_count, TEXT_TOKEN_COUNT_SQL, "token counting"),
     "text_bpe_token_count": QuerySpec(text_bpe_token_count, TEXT_BPE_TOKEN_COUNT_SQL, "BPE-ish regex pre-token counting"),

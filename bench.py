@@ -171,6 +171,7 @@ HEADLINE = [
     "leakage_free_features",
     "user_level_split",
     "k_anonymity_audit",
+    "vocab_coverage",
 ]
 
 
