@@ -620,7 +620,61 @@ FROM per_split p CROSS JOIN overlap o
 """
 
 
+SHUFFLE_BATCHES = 64
+_HASH_SPACE = 1 << 60  # md5_long range
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global pre-training shuffle as a pure hash property: every doc
+    gets a deterministic shuffle position (md5) and batch id = position
+    div (hash-space / N), so the "shuffled" order exists WITHOUT a global
+    sort — at 100 TB you `repartitionByRange(shuffle_pos)` +
+    sortWithinPartitions and each output range IS a training batch, the
+    dataloader-prep step that breaks corpus ordering correlations
+    (source/time locality) before sequence packing. Hash uniformity makes
+    batch sizes concentrate tightly around n/N (the report shows the
+    spread); determinism makes the epoch replayable across cluster sizes
+    and restarts, which `ORDER BY rand()` never is. Report per batch:
+    doc count and exact token count — the balance check a training run
+    does before trusting the shard layout."""
+    d = table(spark, sf_dir, "documents")
+    pos = md5_long(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    assigned = d.select(
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        pos.alias("p"),
+    ).select(
+        "nt",
+        F.least(
+            F.expr(f"p div {_HASH_SPACE // SHUFFLE_BATCHES}"),
+            F.lit(SHUFFLE_BATCHES - 1),
+        ).alias("batch_id"),
+    )
+    return assigned.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+
+
+TRAINING_SHUFFLE_SQL = f"""
+WITH assigned AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         least({sql_md5_long("'shuf:' || CAST(doc_id AS VARCHAR)")}
+                 // {_HASH_SPACE // SHUFFLE_BATCHES},
+               {SHUFFLE_BATCHES - 1}) AS batch_id
+  FROM documents
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY batch_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "training_shuffle": QuerySpec(
+        training_shuffle, TRAINING_SHUFFLE_SQL,
+        "deterministic hash global shuffle into balanced training batches",
+    ),
     "user_level_split": QuerySpec(
         user_level_split, USER_LEVEL_SPLIT_SQL,
         "user-hashed train/val/test split with zero-overlap proof",

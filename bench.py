@@ -172,6 +172,7 @@ HEADLINE = [
     "user_level_split",
     "k_anonymity_audit",
     "vocab_coverage",
+    "training_shuffle",
 ]
 
 
