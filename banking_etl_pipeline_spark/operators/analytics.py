@@ -1745,7 +1745,8 @@ FROM credited GROUP BY t_type
 
 # Monday anchor strictly before every date in the test tables, so the
 # day-count n below is always positive and integer div/mod agree between
-# Spark's `div` (truncating) and DuckDB's `//` (flooring).
+# Spark's `div` and DuckDB's `//` (BOTH truncate toward zero; they would
+# agree even on negatives, but the anchor keeps operands positive anyway).
 BDAY_ANCHOR = "1990-01-01"
 
 

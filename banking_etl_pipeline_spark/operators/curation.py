@@ -39,10 +39,10 @@ from .dedup import (
     JACCARD_MAX_DF,
     N_HASHES,
     SQL_BANDS_CTES,
-    _exploded_shingles,
     _MIN_TOKENS,
     _SQL_SHINGLES,
-    minhash_bands,
+    minhash_bands_cached,
+    shingle_pair_commons_cached,
 )
 
 # ---------------------------------------------------------------------------
@@ -168,7 +168,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort key, so ties break deterministically on the smallest corpus doc.
     Incoming docs with no band collision appear with zero counts (left
     join): the batch report is complete, not hit-only."""
-    bands = minhash_bands(spark, sf_dir)
+    bands = minhash_bands_cached(spark, sf_dir)
     incoming_flag = md5_long(
         F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))
     ) % INC_MOD == 0
@@ -278,41 +278,16 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is mostly inside the larger one — C = |A∩B| / min(|A|,|B|).
     Jaccard misses these (a doc quoted inside a 10× longer one has J ≈
     0.1 but C ≈ 1.0); curation wants them because the contained copy adds
-    no information. Same df-capped shingle equi-join as exact Jaccard
-    (sizes pre-cap, so the denominator stays exact); the cap bounds the
-    pair blowup identically."""
-    exploded = _exploded_shingles(
-        table(spark, sf_dir, "documents")
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .repartition(default_parallelism())
-        .select("doc_id", "text")
-    ).persist()
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= JACCARD_MAX_DF)
-        .select("s")
-    )
-    capped = exploded.join(rare, "s")
-    a, b = capped.alias("a"), capped.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    no information. Ratio view over the SAME df-capped shingle pair stage
+    as exact Jaccard (dedup.shingle_pair_commons, session-cached — sizes
+    pre-cap, so the denominator stays exact; the cap bounds the pair
+    blowup identically)."""
+    pairs = shingle_pair_commons_cached(spark, sf_dir)
     containment = F.col("common").cast("double") / F.least("n_a", "n_b")
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "common", "n_a", "n_b",
-                containment.alias("containment"))
-        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
-    )
+    return pairs.select(
+        "doc_a", "doc_b", "common", "n_a", "n_b",
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= CONTAIN_THRESHOLD)
 
 
 MINHASH_CONTAINMENT_SQL = f"""

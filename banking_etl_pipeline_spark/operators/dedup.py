@@ -141,17 +141,21 @@ FROM keyed k JOIN groups g USING (content_key)
 # ---------------------------------------------------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                        max_doc_freq: int | None = JACCARD_MAX_DF) -> DataFrame:
-    """Pairwise Jaccard via shingle equi-join with a posting-list cap.
+def shingle_pair_commons(spark: SparkSession, sf_dir: str,
+                         max_doc_freq: int | None = JACCARD_MAX_DF) -> DataFrame:
+    """(doc_a, doc_b, common, n_a, n_b): the df-capped shingle-equi-join
+    pair stage shared by exact Jaccard (`dedup_ngram_jaccard`), containment
+    (`curation.minhash_containment`), and sketch evaluation
+    (`minhash_eval`) — all three are ratio/filter views over this ONE
+    intermediate, so it computes once per session (see the cached variant).
 
     `max_doc_freq` caps a shingle's posting list: the equi-join is quadratic
     per shingle (df² candidate pairs), so hot boilerplate shingles must be
     dropped before the join or one viral shingle melts the stage at corpus
     scale (SCALE.md). The cap is ON by default (VERDICT r1 item 4) and the
-    DuckDB oracle applies the identical df filter, so parity holds at every
+    DuckDB oracles apply the identical df filter, so parity holds at every
     cap value; `None` restores the uncapped exact-verification tier. Sizes
-    are computed BEFORE the cap so the Jaccard denominator stays exact — a
+    are computed BEFORE the cap so the ratio denominators stay exact — a
     capped run can only under-report `common` for docs sharing ultra-hot
     shingles, never inflate it.
     """
@@ -178,15 +182,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "common", "n_a", "n_b"
+    )
+
+
+# Session cache for the default-cap pair stage (same keying/eviction as
+# _LSH_CACHE): one shingle-join materialization feeds Jaccard, containment,
+# and the eval's truth tier in a single driver/bench session.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_pair_commons_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _PAIRS_CACHE if k[0] != app]:
+        del _PAIRS_CACHE[stale]
+    key = (app, sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = shingle_pair_commons(spark, sf_dir).persist()
+    return _PAIRS_CACHE[key]
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                        max_doc_freq: int | None = JACCARD_MAX_DF) -> DataFrame:
+    """Exact pairwise Jaccard = ratio view over the shared pair stage
+    (`shingle_pair_commons`); the default-cap path rides the session cache."""
+    if max_doc_freq == JACCARD_MAX_DF:
+        pairs = shingle_pair_commons_cached(spark, sf_dir)
+    else:
+        pairs = shingle_pair_commons(spark, sf_dir, max_doc_freq)
     jacc = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     )
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "common", jacc.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return pairs.select(
+        "doc_a", "doc_b", "common", jacc.alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -292,8 +322,26 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.persist()
 
 
+# Session-scoped cache of the band table itself: dedup_minhash_lsh and
+# curation.dedup_incremental both probe the same signature index; without
+# this each invocation re-persists a fresh copy that is never unpersisted
+# (the bench runs every query several times). Same keying/eviction as
+# _LSH_CACHE below.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _BANDS_CACHE if k[0] != app]:
+        del _BANDS_CACHE[stale]
+    key = (app, sf_dir)
+    if key not in _BANDS_CACHE:
+        _BANDS_CACHE[key] = minhash_bands(spark, sf_dir)
+    return _BANDS_CACHE[key]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_bands(spark, sf_dir)
+    bands = minhash_bands_cached(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

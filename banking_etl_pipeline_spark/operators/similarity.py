@@ -906,6 +906,20 @@ FROM keyed GROUP BY a_id, a_label
 
 
 SEMDEDUP_THRESHOLD = 0.35
+# SemDeDup cell count DERIVES FROM CORPUS SIZE (per-cell pair-scan cost is
+# (n/C)²·C = n²/C; with C fixed it grows quadratically — VERDICT r2 item 2).
+# C = max(MIN_CELLS, n // TARGET_CELL) keeps expected cell size ≈ TARGET_CELL
+# regardless of corpus scale, so per-cell cost stays ~TARGET_CELL² and total
+# cost is linear in n. Both engines compute C from the data itself (Spark: a
+# 1-row count; DuckDB: a scalar subquery), so the oracle is parameterized
+# identically by construction. At the test SFs (≤2000 vectors) this resolves
+# to MIN_CELLS=16 — the same quantizer as before.
+SEMDEDUP_TARGET_CELL = 512
+SEMDEDUP_MIN_CELLS = 16
+
+
+def semdedup_n_cells(n: int) -> int:
+    return max(SEMDEDUP_MIN_CELLS, n // SEMDEDUP_TARGET_CELL)
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,8 +937,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers "which pairs", SemDeDup answers "which copies to train on"
     with bounded per-cell cost."""
     e = _corpus(spark, sf_dir)
+    n_cells = semdedup_n_cells(table(spark, sf_dir, "embeddings").count())
     centroids = (
-        e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + N_CELLS - 1))
+        e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + n_cells - 1))
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
                 F.col("nrm").alias("cn"))
     )
@@ -973,9 +988,14 @@ WITH e AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ),
+nc AS (  -- cell count derived from corpus size, same formula as Spark side
+  SELECT GREATEST({SEMDEDUP_MIN_CELLS},
+                  CAST(COUNT(*) AS BIGINT) // {SEMDEDUP_TARGET_CELL}) AS n
+  FROM embeddings
+),
 cent AS (
   SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
-  WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES + N_CELLS - 1}
+  WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES} + (SELECT n FROM nc) - 1
 ),
 cells AS (
   SELECT vec_id, cell_id FROM (

@@ -1390,11 +1390,23 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     `F.aggregate`. The fold order is total and identical to the oracle's
     `list_reduce`, and α = 0.25 / 1-α = 0.75 are exact binary fractions,
     so the IEEE double result is bit-identical cross-engine — a custom
-    operator with a real oracle, not a tolerance check. Per-user series
-    length bounds memory; at 100 TB-scale series lengths, swap the array
-    fold for `applyInPandas` streaming the same recurrence — identical
-    semantics, constant memory (SCALE.md)."""
+    operator with a real oracle, not a tolerance check.
+
+    Scale dispatch: the array fold holds each user's full series in one
+    row, so it is gated on the LONGEST series (one cheap two-stage count
+    aggregate). Past EWMA_MAX_ARRAY_LEN the operator switches to
+    `ewma_smoothing_pandas` — the same recurrence streamed through
+    Arrow-batched applyInPandas, constant memory per group, bit-identical
+    result (both paths run the identical IEEE op sequence
+    s←0.75·s+0.25·x and the identical floor-truncation; proven by the
+    dual-path oracle test in tests/test_skewed_inputs.py)."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    longest = (
+        e.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0
+    )
+    if longest > EWMA_MAX_ARRAY_LEN:  # pragma: no cover (test SFs are small;
+        # the pandas path itself is oracle-tested directly in the skew suite)
+        return ewma_smoothing_pandas(spark, sf_dir)
     key = F.format_string(
         "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
     )
@@ -1418,6 +1430,52 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").alias("n_events"),
         ftrunc(folded, 6).alias("ewma"),
     )
+
+
+# Above this series length the one-row-per-user array fold risks oversized
+# rows / executor OOM; the streamed pandas fold takes over. 2^16 doubles
+# ≈ 0.5 MB per array row — comfortably inside any sane row-size budget.
+EWMA_MAX_ARRAY_LEN = 65536
+
+_EWMA_PANDAS_SCHEMA = "user_id bigint, n_events int, ewma double"
+
+
+def ewma_smoothing_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-series EWMA path: identical recurrence and truncation as
+    the array fold, but streamed per group through applyInPandas so no
+    user's series ever materializes as a single array row. The scalar
+    Python loop is ON PURPOSE (same rationale as
+    streaming/stateful._update_ewma): the closed-form vectorization
+    reassociates float ops and breaks bit-parity with the batch fold and
+    the DuckDB list_reduce oracle."""
+    import math
+
+    import pandas as pd
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # (ts, event_id) numeric sort ≡ the array path's zero-padded
+        # string key: same µs timestamps, same int ids
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s, n = 0.0, 0
+        for x in pdf["value"].to_numpy():
+            x = float(x)
+            s = x if n == 0 else s * (1.0 - EWMA_ALPHA) + x * EWMA_ALPHA
+            n += 1
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "ewma": [math.floor(s * 1e6) / 1e6],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(fold, _EWMA_PANDAS_SCHEMA)
 
 
 EWMA_SMOOTHING_SQL = f"""

@@ -115,19 +115,21 @@ def _update_profile(key: tuple, pdfs: Iterator[pd.DataFrame],
         n, sum_cents, last_ts_us, max_gap_us = state.get
     else:
         n, sum_cents, last_ts_us, max_gap_us = 0, 0, None, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
-        if len(ts_us):
-            gaps = ts_us.diff()
-            if last_ts_us is not None:
-                gaps.iloc[0] = ts_us.iloc[0] - last_ts_us
-            g = gaps.max()
-            if pd.notna(g):
-                max_gap_us = max(max_gap_us, int(g))
-            last_ts_us = int(ts_us.iloc[-1])
-        n += len(pdf)
-        sum_cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+    # Concat all Arrow chunks before sorting: max_gap is order-sensitive, so
+    # a group spanning chunks must see ONE globally ts-sorted sequence.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("ts")
+    ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
+    if len(ts_us):
+        gaps = ts_us.diff()
+        if last_ts_us is not None:
+            gaps.iloc[0] = ts_us.iloc[0] - last_ts_us
+        g = gaps.max()
+        if pd.notna(g):
+            max_gap_us = max(max_gap_us, int(g))
+        last_ts_us = int(ts_us.iloc[-1])
+    n += len(pdf)
+    sum_cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
     state.update((n, sum_cents, last_ts_us, max_gap_us))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [sum_cents],
@@ -480,12 +482,18 @@ def _update_ewma(key: tuple, pdfs: Iterator[pd.DataFrame],
 
     user_id = key[0]
     n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
-        for x in pdf["value"].to_numpy():
-            x = float(x)
-            s = x if n == 0 else s * (1.0 - EWMA_ALPHA) + x * EWMA_ALPHA
-            n += 1
+    # Concatenate ALL Arrow chunks before the single sort: a group spanning
+    # multiple chunks (>10k rows/user/micro-batch, multi-file replay) would
+    # otherwise fold values out of global (ts, event_id) order, and EWMA is
+    # order-sensitive. Ordering ACROSS micro-batches is the source's
+    # contract (the parquet replay is one batch; a real feed must deliver
+    # per-user events in ts order for the parity claim to hold).
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
+    for x in pdf["value"].to_numpy():
+        x = float(x)
+        s = x if n == 0 else s * (1.0 - EWMA_ALPHA) + x * EWMA_ALPHA
+        n += 1
     state.update((n, s))
     if n > 0:
         yield pd.DataFrame(

@@ -16,12 +16,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from banking_etl_pipeline_spark.registry import (  # noqa: E402
     _MODULES,
     _driver_verified_keys,
+    _oracle_sha,
+    _recorded_oracle_shas,
     all_queries,
+    driver_verified_keys,
 )
 
 
+def _update_oracle_shas(queries, verified) -> None:
+    """Merge-update ORACLE_SHAS.json (run right after each driver round).
+
+    Rules: (1) keys green in the LATEST CORRECTNESS_r*.json get the current
+    oracle sha — that row certified the SQL as it stands now; (2) green keys
+    with no recorded sha are bootstrapped to current; (3) keys green only in
+    older rounds keep their old sha, so a later oracle-SQL edit correctly
+    re-queues them (registry.driver_verified_keys drops sha mismatches)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded = _recorded_oracle_shas()
+    latest_green: set[str] = set()
+    rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if rounds:
+        try:
+            with open(rounds[-1]) as f:
+                rows = json.load(f)
+            latest_green = {
+                k for k, r in rows.items()
+                if isinstance(r, dict) and r.get("rows_match")
+                and r.get("schema_match") and r.get("hash_match")
+            }
+        except (OSError, ValueError):
+            pass
+    # iterate the RAW green set (pre-invalidation): a key re-greened in the
+    # latest round is raw-green but sha-invalidated until this very refresh
+    for key in _driver_verified_keys():
+        if key in queries and (key in latest_green or key not in recorded):
+            recorded[key] = _oracle_sha(queries[key])
+    with open(os.path.join(root, "ORACLE_SHAS.json"), "w") as f:
+        json.dump(dict(sorted(recorded.items())), f, indent=1)
+    print(f"ORACLE_SHAS.json: {len(recorded)} recorded")
+
+
 def main() -> None:
-    verified = _driver_verified_keys()
+    verified = driver_verified_keys()
     key_module: dict[str, str] = {}
     for mod in _MODULES:
         name = mod.__name__.split("banking_etl_pipeline_spark.")[-1]
@@ -56,6 +95,7 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"OPERATORS.md regenerated: {len(queries)} queries "
           f"({sum(1 for k in queries if k in verified)} driver-green)")
+    _update_oracle_shas(queries, verified)
 
 
 if __name__ == "__main__":

@@ -8,13 +8,15 @@ round coverage rotation silently stops. Pure-Python (no Spark session).
 from __future__ import annotations
 
 from banking_etl_pipeline_spark.registry import (
-    _driver_verified_keys,
     all_queries,
+    driver_verified_keys,
 )
 
 
 def test_unverified_keys_emit_before_verified():
-    verified = _driver_verified_keys()
+    # the sha-aware set (a green key whose oracle SQL changed re-queues):
+    # MUST match what all_queries() orders by, or this invariant lies
+    verified = driver_verified_keys()
     assert verified, "r1 CORRECTNESS file should contribute green keys"
     seen_verified = False
     for key in all_queries():
@@ -31,13 +33,38 @@ def test_priority_families_lead_the_window():
     """The judge-prioritized families (DQ, scans, merge upsert, the 30-day
     frame, the dedup tier) must sit inside the first 50 entries while any
     of them remain unverified."""
-    verified = _driver_verified_keys()
+    verified = driver_verified_keys()
     head = list(all_queries())[:50]
     for key in ("dq_null_counts", "dq_dup_count", "dq_range_violations",
                 "dq_orphans", "scan_csv", "scan_parquet", "merge_upsert",
                 "window_range_30d", "dedup_exact", "dedup_minhash_lsh"):
         if key not in verified:
             assert key in head, f"{key!r} fell out of the driver window"
+
+
+def test_oracle_sha_change_requeues_key(monkeypatch):
+    """A driver-green key whose oracle SQL changes after verification must
+    drop out of the verified set (its green row certified different
+    semantics) and re-enter the unverified-first window."""
+
+    from banking_etl_pipeline_spark import registry
+
+    key = next(iter(driver_verified_keys()))
+    recorded = registry._recorded_oracle_shas()
+    assert recorded.get(key), "bootstrapped ORACLE_SHAS.json missing a green key"
+    assert key in driver_verified_keys()
+    # simulate an oracle edit: recorded sha no longer matches current SQL
+    tampered = dict(recorded)
+    tampered[key] = "0" * 16
+    monkeypatch.setattr(registry, "_recorded_oracle_shas", lambda: tampered)
+    assert key not in registry.driver_verified_keys()
+    # and the registry re-orders it into the unverified-first block
+    order = list(registry.all_queries())
+    first_verified = next(
+        i for i, k in enumerate(order)
+        if k in registry.driver_verified_keys()
+    )
+    assert order.index(key) < first_verified
 
 
 def test_every_query_has_an_oracle():

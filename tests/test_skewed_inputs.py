@@ -83,3 +83,34 @@ def test_hot_key_semantics_running_sum(spark, skew_dir):
     global signed total — the telescoping invariant under max skew."""
     out = all_queries()["window_running_sum"].build(spark, skew_dir)
     assert out.select(F.count_distinct("user_id")).collect()[0][0] == 1
+
+def test_ewma_dual_path_bit_identical(spark, sf_dir, skew_dir):
+    """VERDICT r2 item 6: the large-series applyInPandas EWMA must be
+    bit-identical to the registered array fold (and hence to the DuckDB
+    oracle) — on the normal table AND on the one-user-owns-everything
+    skew fixture, where the whole corpus is a single series."""
+    from banking_etl_pipeline_spark.operators.windows import (
+        ewma_smoothing,
+        ewma_smoothing_pandas,
+    )
+
+    for d in (sf_dir, skew_dir):
+        arr = {r.user_id: (r.n_events, r.ewma)
+               for r in ewma_smoothing(spark, d).collect()}
+        pnd = {r.user_id: (r.n_events, r.ewma)
+               for r in ewma_smoothing_pandas(spark, d).collect()}
+        assert arr == pnd, f"dual-path mismatch at {d}"
+
+
+def test_ewma_dispatch_threshold(spark, skew_dir, monkeypatch):
+    """Past EWMA_MAX_ARRAY_LEN the registered operator must return the
+    pandas plan (Python eval node present); below it, the pure-JVM array
+    fold (no Python eval)."""
+    from banking_etl_pipeline_spark.operators import windows as W
+    from banking_etl_pipeline_spark.plans import plan_of
+
+    p = plan_of(W.ewma_smoothing(spark, skew_dir))
+    assert "FlatMapGroupsInPandas" not in p
+    monkeypatch.setattr(W, "EWMA_MAX_ARRAY_LEN", 10)
+    p = plan_of(W.ewma_smoothing(spark, skew_dir))
+    assert "FlatMapGroupsInPandas" in p

@@ -80,3 +80,145 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
            for r in wh.read("user_stats").collect()}
     want = {r.user_id: (r.n, round(r.sum_value, 6)) for r in batch.collect()}
     assert got == want  # no double-count of half 1, no loss of half 2
+
+
+# ---------------------------------------------------------------------------
+# Stateful restart: the two lambda-parity proofs must carry their GroupState
+# (a FLOAT for ewma) across a checkpoint kill/restart and produce output
+# identical to an uninterrupted run — in-session parity alone doesn't prove
+# the state round-trips the checkpoint store losslessly (VERDICT r2 item 5).
+# ---------------------------------------------------------------------------
+
+def _staged_prefix_split(spark, tmp_path, cols, nonnull_value=False):
+    """Split events at the global (ts, event_id) median into prefix/suffix
+    parquet stages — a TIME-PREFIX split, so sequential replay preserves
+    the per-user fold order the batch oracle uses."""
+    from pyspark.sql import Window
+
+    e = table(spark, SF_SMALL, "events")
+    if nonnull_value:
+        e = e.filter(F.col("value").isNotNull())
+    e = e.select(*cols)
+    n = e.count()
+    ranked = e.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    stage1, stage2 = tmp_path / "s1", tmp_path / "s2"
+    ranked.filter(F.col("rn") <= n // 2).drop("rn") \
+        .coalesce(1).write.parquet(str(stage1))
+    ranked.filter(F.col("rn") > n // 2).drop("rn") \
+        .coalesce(1).write.parquet(str(stage2))
+    return stage1, stage2
+
+
+def _run_stateful(spark, src, out, ckpt, update_fn, out_schema, state_schema,
+                  schema_str):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema_str).format("parquet")
+        .option("path", str(src)).load()
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn, outputStructType=out_schema,
+            stateStructType=state_schema, outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (stream.writeStream.outputMode("append").format("parquet")
+         .option("path", str(out)).option("checkpointLocation", str(ckpt))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _feed(src, stage, name):
+    src.mkdir(exist_ok=True)
+    for f in stage.glob("*.parquet"):
+        shutil.copy(f, src / name)
+
+
+def test_streaming_ewma_restart_carries_float_state(spark, tmp_path):
+    from banking_etl_pipeline_spark.operators.windows import ewma_smoothing
+    from banking_etl_pipeline_spark.streaming.stateful import (
+        _EWMA_OUT,
+        _EWMA_STATE,
+        _update_ewma,
+    )
+    from pyspark.sql import Window
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    cols = ["event_id", "user_id", "ts", "value"]
+    s1, s2 = _staged_prefix_split(spark, tmp_path, cols, nonnull_value=True)
+
+    def run(src_name, out_name, ckpt_name):
+        _run_stateful(spark, tmp_path / src_name, tmp_path / out_name,
+                      tmp_path / ckpt_name, _update_ewma, _EWMA_OUT,
+                      _EWMA_STATE, schema)
+
+    # interrupted: prefix → stop → suffix lands while down → restart
+    _feed(tmp_path / "src", s1, "a.parquet")
+    run("src", "out", "ckpt")
+    _feed(tmp_path / "src", s2, "b.parquet")
+    run("src", "out", "ckpt")
+
+    # uninterrupted: both halves visible from the start, fresh checkpoint
+    _feed(tmp_path / "src_full", s1, "a.parquet")
+    _feed(tmp_path / "src_full", s2, "b.parquet")
+    run("src_full", "out_full", "ckpt_full")
+
+    def final_per_user(path):  # last emission = the max-n_events row
+        sink = spark.read.parquet(str(path))
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return {
+            r.user_id: (r.n_events, r.ewma)
+            for r in sink.withColumn("r", F.row_number().over(w))
+            .filter("r = 1").collect()
+        }
+
+    restarted = final_per_user(tmp_path / "out")
+    straight = final_per_user(tmp_path / "out_full")
+    assert restarted == straight  # float state survived the checkpoint
+    # and both equal the batch fold (lambda parity end-to-end)
+    batch = {r.user_id: (r.n_events, r.ewma)
+             for r in ewma_smoothing(spark, SF_SMALL).collect()}
+    assert restarted == batch
+
+
+def test_streaming_rate_limit_restart_is_exactly_once(spark, tmp_path):
+    from banking_etl_pipeline_spark.streaming.stateful import (
+        _RATE_OUT,
+        _RATE_STATE,
+        _update_rate_limit,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    cols = ["event_id", "user_id", "ts"]
+    s1, s2 = _staged_prefix_split(spark, tmp_path, cols)
+
+    def run(src_name, out_name, ckpt_name):
+        _run_stateful(spark, tmp_path / src_name, tmp_path / out_name,
+                      tmp_path / ckpt_name, _update_rate_limit, _RATE_OUT,
+                      _RATE_STATE, schema)
+
+    _feed(tmp_path / "src", s1, "a.parquet")
+    run("src", "out", "ckpt")
+    _feed(tmp_path / "src", s2, "b.parquet")
+    run("src", "out", "ckpt")
+
+    _feed(tmp_path / "src_full", s1, "a.parquet")
+    _feed(tmp_path / "src_full", s2, "b.parquet")
+    run("src_full", "out_full", "ckpt_full")
+
+    def rows(path):
+        return {(r.event_id, r.user_id, r.day, r.rn)
+                for r in spark.read.parquet(str(path)).collect()}
+
+    restarted, straight = rows(tmp_path / "out"), rows(tmp_path / "out_full")
+    # append-mode kept set: no admitted event lost, none admitted twice,
+    # ranks identical — the day-counter state survived the restart
+    assert restarted == straight
+    n = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n == len(restarted)  # no duplicate emissions either
