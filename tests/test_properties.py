@@ -369,3 +369,122 @@ def test_business_day_formula_matches_model(spark, d1, span):
         return 5 * (n // 7) + min(n % 7, 5)
 
     assert g((b - anchor).days) - g((a - anchor).days) == expected
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine determinism foundation (hypothesis → batch → one Spark job +
+# one DuckDB query per example): every oracle in the registry leans on these
+# four identities — if any drifts on some input class, dozens of hash gates
+# fail at once. Property tests catch the drift input-first.
+# ---------------------------------------------------------------------------
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@given(xs=st.lists(
+    st.floats(min_value=-1e9, max_value=1e9,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_cents_and_ftrunc_cross_engine_bit_parity(spark, xs):
+    """cents(x) = floor(x·100 + 0.5) and ftrunc(x, 6) must agree with the
+    DuckDB spellings BIT-FOR-BIT on arbitrary doubles (the fixed-point
+    policy every money/float oracle rides)."""
+    from banking_etl_pipeline_spark.functions.numeric import cents, ftrunc
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i int, x double")
+    got = {r.i: (r.c, r.t) for r in df.select(
+        "i", cents(F.col("x")).alias("c"), ftrunc(F.col("x"), 6).alias("t")
+    ).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, x) for i, x in enumerate(xs)])
+    want = {i: (c, t) for i, c, t in con.execute(
+        "SELECT i, CAST(FLOOR(x * 100.0 + 0.5) AS BIGINT),"
+        " FLOOR(x * 1000000.0) / 1000000.0 FROM t").fetchall()}
+    for i in got:
+        assert got[i][0] == want[i][0], f"cents diverged on {xs[i]!r}"
+        assert repr(got[i][1]) == repr(want[i][1]), \
+            f"ftrunc diverged on {xs[i]!r}"
+
+
+@given(ss=st.lists(st.text(
+    alphabet=st.characters(codec="ascii",
+                           categories=("L", "N", "P", "S", "Z")),
+    min_size=0, max_size=40), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_md5_long_cross_engine(spark, ss):
+    """md5_long (60-bit positive int from the md5 hex prefix) must equal
+    the DuckDB spelling on arbitrary ASCII strings — every deterministic
+    sample/split/bucket assignment in the repo is this hash."""
+    from banking_etl_pipeline_spark.functions.hashing import (
+        md5_long,
+        sql_md5_long,
+    )
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ss)],
+                               "i int, s string")
+    got = {r.i: r.h for r in df.select(
+        "i", md5_long(F.col("s")).alias("h")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, s in enumerate(ss)])
+    want = dict(con.execute(
+        f"SELECT i, {sql_md5_long('s')} FROM t").fetchall())
+    assert got == want
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(-2**62, 2**62),
+              st.integers(-2**62, 2**62).filter(lambda b: b != 0)),
+    min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_integer_div_mod_cross_engine(spark, pairs):
+    """Spark `div`/`%` vs DuckDB `//`/`%`: BOTH truncate toward zero —
+    including negatives (the corrected model from ADVICE r2). Every
+    closed-form date/bucket/quantile formula in the repo assumes this."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a long, b long")
+    got = {r.i: (r.d, r.m) for r in df.selectExpr(
+        "i", "a div b AS d", "a % b AS m").collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, a, b) for i, (a, b) in enumerate(pairs)])
+    want = {i: (d, m) for i, d, m in con.execute(
+        "SELECT i, a // b, a % b FROM t").fetchall()}
+    assert got == want
+
+
+@given(xs=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_sequential_double_fold_cross_engine(spark, xs):
+    """The EWMA-style sequential fold (order-sensitive, non-associative)
+    must be bit-identical between F.aggregate and DuckDB list_reduce on
+    arbitrary double series — the property the streaming/batch parity
+    proofs stand on."""
+    from banking_etl_pipeline_spark.operators.windows import EWMA_ALPHA
+
+    df = spark.createDataFrame([(xs,)], "xs array<double>")
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: acc * F.lit(1.0 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    got = df.select(folded.alias("s")).collect()[0].s
+    con = _duck()
+    want = con.execute(
+        f"SELECT list_reduce(?::DOUBLE[], "
+        f"(acc, x) -> acc * {1.0 - EWMA_ALPHA!r} + x * {EWMA_ALPHA!r})",
+        [xs]).fetchone()[0]
+    assert repr(got) == repr(want), f"fold diverged on {xs!r}"
