@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
 from ..functions.numeric import ftrunc, sql_ftrunc
+from ..session import session_persist
 from ..spec import QuerySpec
 from .dedup import DEDUP_MINHASH_LSH_SQL, minhash_lsh_cached
 from .text import tokens
@@ -379,20 +380,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-scoped cache of the converged cluster assignment (same pattern and
-# rationale as dedup._LSH_CACHE): dup_clusters and dedup_survivors share the
-# fixpoint-propagation result when one session runs both.
-_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+# Session-scoped cache of the converged cluster assignment (session_persist,
+# same rationale as the dedup/similarity band caches): dup_clusters and
+# dedup_survivors share the fixpoint-propagation result in one session.
 def dup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _CLUSTERS_CACHE if k[0] != app]:
-        del _CLUSTERS_CACHE[stale]
-    key = (app, sf_dir)
-    if key not in _CLUSTERS_CACHE:
-        _CLUSTERS_CACHE[key] = dup_clusters(spark, sf_dir).persist()
-    return _CLUSTERS_CACHE[key]
+    return session_persist(
+        spark, f"dup_clusters:{sf_dir}",
+        lambda: dup_clusters(spark, sf_dir),
+    )
 
 
 # Oracle: exact connected components via recursive reachability — reach(v)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
 from ..functions.vectors import as_double, dot
-from ..session import default_parallelism
+from ..session import default_parallelism, session_persist
 from ..spec import QuerySpec
 
 N_HASHES = 16
@@ -190,17 +190,11 @@ def shingle_pair_commons(spark: SparkSession, sf_dir: str,
 # Session cache for the default-cap pair stage (same keying/eviction as
 # _LSH_CACHE): one shingle-join materialization feeds Jaccard, containment,
 # and the eval's truth tier in a single driver/bench session.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def shingle_pair_commons_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _PAIRS_CACHE if k[0] != app]:
-        del _PAIRS_CACHE[stale]
-    key = (app, sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = shingle_pair_commons(spark, sf_dir).persist()
-    return _PAIRS_CACHE[key]
+    return session_persist(
+        spark, f"shingle_pairs:{sf_dir}",
+        lambda: shingle_pair_commons(spark, sf_dir),
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
@@ -316,10 +310,11 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # the LSH candidate join is a self-join: without persist both branches
+    # the LSH candidate join is a self-join: without a persist both branches
     # recompute the full shingle→signature pipeline (2× the dominant cost);
-    # at cluster scale this persist is the signature-stage materialization
-    return bands.persist()
+    # consumers go through minhash_bands_cached, whose session_persist IS the
+    # signature-stage materialization a cluster job would write once
+    return bands
 
 
 # Session-scoped cache of the band table itself: dedup_minhash_lsh and
@@ -327,17 +322,11 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this each invocation re-persists a fresh copy that is never unpersisted
 # (the bench runs every query several times). Same keying/eviction as
 # _LSH_CACHE below.
-_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _BANDS_CACHE if k[0] != app]:
-        del _BANDS_CACHE[stale]
-    key = (app, sf_dir)
-    if key not in _BANDS_CACHE:
-        _BANDS_CACHE[key] = minhash_bands(spark, sf_dir)
-    return _BANDS_CACHE[key]
+    return session_persist(
+        spark, f"minhash_bands:{sf_dir}",
+        lambda: minhash_bands(spark, sf_dir),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,17 +406,11 @@ WHERE CAST(list_sum(list_transform(range(1, {N_HASHES + 1}),
 # r1 item 7). Keyed on (applicationId, sf_dir); entries from dead sessions
 # are evicted on sight. At cluster scale this is the "write the pair stage
 # to a staging table once" step of a real dedup pipeline.
-_LSH_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def minhash_lsh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _LSH_CACHE if k[0] != app]:
-        del _LSH_CACHE[stale]
-    key = (app, sf_dir)
-    if key not in _LSH_CACHE:
-        _LSH_CACHE[key] = dedup_minhash_lsh(spark, sf_dir).persist()
-    return _LSH_CACHE[key]
+    return session_persist(
+        spark, f"minhash_lsh:{sf_dir}",
+        lambda: dedup_minhash_lsh(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..session import session_persist
 from ..functions.numeric import ftrunc, sql_ftrunc
 from ..functions.vectors import as_double, dot, hyperplane, norm
 from ..spec import QuerySpec
@@ -118,17 +119,10 @@ def lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate join, dedup_embedding_cosine, ann_recall_report) would otherwise
 # recompute them per action. One materialization per (session, sf_dir) ≙ the
 # persisted signature index a cluster deployment maintains.
-_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for stale in [k for k in _BANDS_CACHE if k[0] != app]:
-        del _BANDS_CACHE[stale]
-    key = (app, sf_dir)
-    if key not in _BANDS_CACHE:
-        _BANDS_CACHE[key] = lsh_bands(spark, sf_dir).persist()
-    return _BANDS_CACHE[key]
+    return session_persist(
+        spark, f"lsh_bands:{sf_dir}", lambda: lsh_bands(spark, sf_dir)
+    )
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
