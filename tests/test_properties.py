@@ -498,3 +498,96 @@ def test_sequential_double_fold_cross_engine(spark, xs):
         f"(acc, x) -> acc * {1.0 - EWMA_ALPHA!r} + x * {EWMA_ALPHA!r})",
         [xs]).fetchone()[0]
     assert repr(got) == repr(want), f"fold diverged on {xs!r}"
+
+
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("ab ,.!")),  # spaces + punctuation runs
+    min_size=0, max_size=30), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_whitespace_split_cross_engine(spark, texts):
+    """F.split(text, ' ') (regex-based) vs DuckDB string_split(text, ' ')
+    (literal) must produce identical token arrays — including empty
+    tokens from consecutive/leading/trailing spaces and the empty
+    string. Every token count / shingle / tokenizer in the repo assumes
+    this equivalence."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, t string")
+    got = {r.i: (list(r.toks), r.n) for r in df.select(
+        "i", F.split(F.col("t"), " ").alias("toks"),
+        F.size(F.split(F.col("t"), " ")).alias("n")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    want = {i: (toks, n) for i, toks, n in con.execute(
+        "SELECT i, string_split(t, ' '), CAST(len(string_split(t, ' ')) "
+        "AS INT) FROM t").fetchall()}
+    assert got == want
+
+
+@given(ss=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    min_size=0, max_size=20), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_md5_unicode_cross_engine(spark, ss):
+    """md5 over arbitrary (non-surrogate) unicode must agree — both
+    engines hash the UTF-8 bytes. Guards every content digest and
+    deterministic hash against non-ASCII documents."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ss)],
+                               "i int, s string")
+    got = {r.i: r.h for r in df.select("i", F.md5("s").alias("h")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, s in enumerate(ss)])
+    want = dict(con.execute("SELECT i, md5(s) FROM t").fetchall())
+    assert got == want
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 4 * 10**15),       # epoch-µs range (to ~2096)
+              st.integers(0, 9_999_999_999)),   # id range the %010d assumes
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_sortable_key_cross_engine_and_order(spark, pairs):
+    """The zero-padded '%020d:%010d' sort key (the repo-wide collect_list
+    determinism discipline) must (a) render identically in Spark
+    format_string and DuckDB printf, and (b) sort lexicographically in
+    the same order as the (epoch, id) tuple sorts numerically."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a long, b long")
+    got = {r.i: r.k for r in df.select(
+        "i", F.format_string("%020d:%010d", "a", "b").alias("k")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, a, b) for i, (a, b) in enumerate(pairs)])
+    want = dict(con.execute(
+        "SELECT i, printf('%020d:%010d', a, b) FROM t").fetchall())
+    assert got == want
+    keys = [got[i] for i in range(len(pairs))]
+    assert sorted(range(len(pairs)), key=lambda i: keys[i]) == \
+        sorted(range(len(pairs)), key=lambda i: pairs[i])
+
+
+@given(pairs=st.lists(
+    st.tuples(st.text(alphabet=st.sampled_from(list("abcde")), max_size=12),
+              st.text(alphabet=st.sampled_from(list("abcde")), max_size=12)),
+    min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_levenshtein_cross_engine(spark, pairs):
+    """F.levenshtein vs DuckDB levenshtein on arbitrary short strings —
+    the fuzzy_join primitive."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a string, b string")
+    got = {r.i: r.d for r in df.select(
+        "i", F.levenshtein("a", "b").alias("d")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, a, b) for i, (a, b) in enumerate(pairs)])
+    want = dict(con.execute("SELECT i, levenshtein(a, b) FROM t").fetchall())
+    assert got == want
