@@ -47,12 +47,22 @@ SQL_COSINE = (
 
 def hyperplane(plane_idx: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane for sign-LSH: weight for each
-    dimension d is derived from md5(plane '_' d), mapped to [-1, 1]."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            md5_long(F.concat(F.lit(f"{plane_idx}_"), d.cast("string"))) % 2001
-            - 1000
-        ).cast("double")
-        / 1000.0,
-    )
+    dimension d is derived from md5(plane '_' d), mapped to [-1, 1].
+
+    The weights are constants, so they are computed DRIVER-SIDE and
+    embedded as a literal array: the previous HOF form
+    (transform(sequence(...), d -> md5(...))) is not constant-folded by
+    Catalyst — it re-derived all dim weights from md5 PER ROW, which at
+    96 planes × 64 dims was ~6k md5 calls per vector (measured 14.8 s →
+    1.3 s for the sf0.1 band table). The Python arithmetic below is
+    bit-identical to the SQL form (verified: positive int hex-prefix,
+    same %/cast semantics), and the DuckDB oracle still regenerates the
+    same weights from the md5 formula, so cross-engine parity is
+    unchanged."""
+    import hashlib
+
+    weights = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane_idx}_{d}".encode()).hexdigest()
+        weights.append((int(h[:15], 16) % 2001 - 1000) / 1000.0)
+    return F.array(*[F.lit(w) for w in weights])

@@ -620,17 +620,18 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF — 100 TB of vectors quantize at full scan bandwidth.
     """
     e = table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    nrm = norm(v)
+    # hoist the norm to a named column FIRST: a HOF lambda re-evaluates
+    # every inner expression per element, so referencing the norm fold
+    # inline would recompute the full 64-element dot product 64 times
+    # per row (the winnowing lesson, see SCALE.md)
+    base = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("scale", norm(F.col("v")))
     q = F.transform(
-        v,
-        lambda x: F.floor(x * 127.0 / nrm + 0.5).cast("int"),
+        F.col("v"),
+        lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int"),
     )
-    return e.select(
-        "vec_id",
-        nrm.alias("scale"),
-        q.alias("q8"),
-    )
+    return base.select("vec_id", "scale", q.alias("q8"))
 
 
 EMBEDDING_QUANTIZE_SQL = """
