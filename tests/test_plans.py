@@ -635,3 +635,76 @@ def test_top_paths_prefix_bounded_one_user_exchange(spark, sf_dir, queries):
     p = plan_of(_build(queries, spark, sf_dir, "top_paths"))
     assert p.count("hashpartitioning(user_id") == 1
     assert f"<= {PATH_LEN})" in p, "prefix bound filter missing from plan"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pins for the scale-critical shapes the r2 review praised in prose:
+# each test freezes the property that makes the operator survive 100 TB, so
+# a refactor can't silently regress it. (Formatted plans put Exchange args
+# on their own line — match 'hashpartitioning(' / 'rangepartitioning(',
+# never 'Exchange hashpartitioning'.)
+# ---------------------------------------------------------------------------
+
+def test_training_shuffle_no_global_sort(spark, sf_dir, queries):
+    """The global shuffle order comes from hash-position batch keys — ONE
+    hash exchange (batch grouping), never a rangepartitioning/global sort
+    of the corpus."""
+    p = plan_of(_build(queries, spark, sf_dir, "training_shuffle"))
+    assert "rangepartitioning(" not in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_scan_parallel_text_ops_are_shuffle_free(spark, sf_dir, queries):
+    """doc_chunking, winnowing_fingerprint, and text_fingerprint are pure
+    per-row array algebra: ZERO exchanges — they run at full scan
+    bandwidth on any corpus size."""
+    for key in ("doc_chunking", "winnowing_fingerprint", "text_fingerprint"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "Exchange" not in p, f"{key}: gained a shuffle"
+
+
+def test_single_exchange_aggregation_ops(spark, sf_dir, queries):
+    """One hash exchange each: stratified_sample (per-language rank),
+    pack_sequences (per-doc assembly), heavy_hitters (token agg — plus
+    its TakeOrdered top-k heap instead of any global sort)."""
+    for key in ("stratified_sample", "pack_sequences", "heavy_hitters"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert p.count("hashpartitioning(") <= 1, f"{key}: extra shuffle"
+        assert "rangepartitioning(" not in p, f"{key}: global sort appeared"
+    p = plan_of(_build(queries, spark, sf_dir, "heavy_hitters"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_feature_hashing_two_exchanges(spark, sf_dir, queries):
+    """Hashing-trick vectorizer: token-bucket aggregate + per-doc
+    aggregate — exactly the two key changes, nothing more."""
+    p = plan_of(_build(queries, spark, sf_dir, "feature_hashing"))
+    assert p.count("hashpartitioning(") <= 2
+
+
+def test_decontamination_benchmark_side_broadcasts(spark, sf_dir, queries):
+    """The benchmark shingle set is small by definition: it must broadcast
+    into the corpus probe (corpus side never shuffles for the join)."""
+    p = plan_of(_build(queries, spark, sf_dir, "decontamination"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_band_joins_never_nested_loop(spark, sf_dir, queries):
+    """The MinHash band self-join and the cluster fixpoint must stay hash
+    equi-joins at any scale — a BroadcastNestedLoopJoin here means the
+    band key fell out of the join condition."""
+    for key in ("dedup_minhash_lsh", "dup_clusters", "dedup_survivors",
+                "dedup_incremental"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "BroadcastNestedLoopJoin" not in p, f"{key}: NLJ appeared"
+
+
+def test_ann_probe_sides_broadcast(spark, sf_dir, queries):
+    """ann_lsh / ann_ivf probe a fixed small query set: the probe side
+    must broadcast; the corpus side must never be the build side of a
+    nested loop against another corpus-sized input (the centroid-table
+    broadcast cross in ann_ivf is the accepted bounded-side pattern)."""
+    for key in ("ann_lsh", "ann_ivf"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "BroadcastHashJoin" in p, f"{key}: probe join not broadcast"
