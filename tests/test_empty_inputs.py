@@ -28,13 +28,9 @@ _SKIP = {"banking_txn_pipeline"}  # self-seeding; no table inputs
 
 @pytest.fixture(scope="module")
 def empty_dir(spark, sf_dir):
-    if not os.path.exists(os.path.join(_EMPTY_DIR, "_DONE")):
-        for t in TABLES:
-            table(spark, sf_dir, t).limit(0).write.mode("overwrite").parquet(
-                os.path.join(_EMPTY_DIR, f"{t}.parquet")
-            )
-        open(os.path.join(_EMPTY_DIR, "_DONE"), "w").close()
-    return _EMPTY_DIR
+    from tests.conftest import build_empty_universe
+
+    return build_empty_universe(spark, sf_dir, _EMPTY_DIR)
 
 
 _KEYS = [

@@ -55,3 +55,21 @@ def test_report_repeat_deterministic(spark, sf_dir, reports):
                 tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
             ))
         assert sets[0] == sets[1], f"{key}: nondeterministic across builds"
+
+
+def test_report_empty_universe(spark, sf_dir, reports):
+    from tests.conftest import build_empty_universe
+
+    empty = build_empty_universe(spark, sf_dir)
+    for key, spec in reports.items():
+        df = spec.build(spark, empty)
+        assert len(df.schema) > 0, key
+        assert df.count() >= 0, key
+
+
+def test_report_hot_language(spark, sf_dir, reports):
+    from tests.conftest import build_skewed_universe
+
+    skew = build_skewed_universe(spark, sf_dir)
+    for key, spec in reports.items():
+        assert spec.build(spark, skew).count() >= 0, key

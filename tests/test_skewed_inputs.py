@@ -55,20 +55,9 @@ _KEYS = [
 
 @pytest.fixture(scope="module")
 def skew_dir(spark, sf_dir):
-    if not os.path.exists(os.path.join(_SKEW_DIR, "_DONE")):
-        for t in TABLES:
-            df = table(spark, sf_dir, t)
-            if t == "events":
-                df = df.withColumn("user_id", F.lit(1).cast("long"))
-            elif t == "orders":
-                df = df.withColumn("o_custkey", F.lit(1).cast("long"))
-            elif t == "documents":
-                df = df.withColumn("lang", F.lit("en"))
-            df.write.mode("overwrite").parquet(
-                os.path.join(_SKEW_DIR, f"{t}.parquet")
-            )
-        open(os.path.join(_SKEW_DIR, "_DONE"), "w").close()
-    return _SKEW_DIR
+    from tests.conftest import build_skewed_universe
+
+    return build_skewed_universe(spark, sf_dir, _SKEW_DIR)
 
 
 @pytest.mark.parametrize("key", _KEYS)
