@@ -55,13 +55,23 @@ GALLERY: dict[str, str] = {
     "curation_funnel_v2": "Four per-doc gate relations left-joined on doc_id; cluster stage read from the session cache (LogicalRDD).",
     "winnowing_fingerprint": "Per-row array algebra end to end — no shuffle, no Generate; one md5 per shingle position.",
     "triangle_count": "Degree-oriented wedge build/close as hash equi-joins; summary scalars ride broadcast 1-row joins.",
+    # registration-deferred tiers (resolved via their modules' queries())
+    "bitext_margin_pairs": "Cross-lingual candidates from the cached LSH band index (equi-join, no NLJ); margin = one double division of BIGINT top-K sums.",
+    "safety_funnel": "One corpus scan → conditional sums for all funnel stages; no join, no window, the whole tier's shape.",
+    "generalization_ladder": "Three tiny QI aggregates unioned; the release decision is a broadcast 1-row argmin join — never a driver-side branch.",
+    "bpe_merge_train": "Eight merge rounds, each a bounded pair-count aggregate over the word dictionary (vocab-sized, never corpus-sized).",
 }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="dump_plans")
-    queries = all_queries()
+    queries = dict(all_queries())
+    from banking_etl_pipeline_spark.operators import (  # noqa: E402
+        bitext, privacy, reports, safety, tokenizer,
+    )
+    for mod in (reports, tokenizer, privacy, bitext, safety):
+        queries.update(mod.queries())
     out = [
         "# PLANS — representative physical plans (sf0.001, local[32], AQE on)",
         "",
