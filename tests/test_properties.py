@@ -591,3 +591,53 @@ def test_levenshtein_cross_engine(spark, pairs):
                     [(i, a, b) for i, (a, b) in enumerate(pairs)])
     want = dict(con.execute("SELECT i, levenshtein(a, b) FROM t").fetchall())
     assert got == want
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["slow", "big", "the", "scan", "join", ""]),
+             min_size=0, max_size=20).map(" ".join),
+    min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_lexicon_filter_count_cross_engine(spark, texts):
+    """size(filter(tokens, x.isin(lexicon))) vs DuckDB
+    len(list_filter(tokens, x IN lexicon)) on arbitrary word-salad
+    strings — the safety-tier lexicon-hit primitive (hits counted over
+    the SAME split-on-space token arrays both sides)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, t string")
+    tk = F.split(F.col("t"), " ")
+    got = {r.i: r.h for r in df.select(
+        "i",
+        F.size(F.filter(tk, lambda x: x.isin("slow", "big", "the")))
+        .alias("h")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    want = dict(con.execute(
+        "SELECT i, len(list_filter(string_split(t, ' '),"
+        " x -> x IN ('slow', 'big', 'the'))) FROM t").fetchall())
+    assert got == want
+
+
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("keybig <>/scrpt")),
+    min_size=0, max_size=40), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_rlike_alternation_cross_engine(spark, texts):
+    """Column.rlike(alternation-of-literals) vs DuckDB regexp_matches on
+    arbitrary strings built from the pattern alphabet — the
+    injection-scan primitive. Both are RE2-style unanchored containment
+    searches; this pins that equivalence."""
+    pat = "(key key)|(big big)|(<script)"
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, t string")
+    got = {r.i: r.m for r in df.select(
+        "i", F.col("t").rlike(pat).alias("m")).collect()}
+    con = _duck()
+    con.execute("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    want = dict(con.execute(
+        f"SELECT i, regexp_matches(t, '{pat}') FROM t").fetchall())
+    assert got == want
