@@ -33,6 +33,18 @@ def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
     con = duck_connection(sf)
     q, osql = mod.queries(), mod.oracle_sql()
+    if os.environ.get("SPARK_GRAFT_INCLUDE_DEFERRED"):
+        # r05 registration rehearsal: run the registration-deferred tiers
+        # through the EXACT same comparison as the registered surface.
+        from banking_etl_pipeline_spark.operators import (  # noqa: E402
+            bitext, privacy, reports, safety, tokenizer,
+        )
+
+        for dmod in (reports, tokenizer, privacy, bitext, safety):
+            for key, spec in dmod.queries().items():
+                assert key not in q, f"deferred key collides: {key}"
+                q[key] = spec.build
+                osql[key] = spec.oracle
     bad = []
     for key, fn in q.items():
         sdf = fn(spark, sf)

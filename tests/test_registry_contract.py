@@ -72,3 +72,30 @@ def test_every_query_has_an_oracle():
     carries a DuckDB oracle for the hash comparison."""
     missing = [k for k, s in all_queries().items() if s.oracle is None]
     assert missing == []
+
+
+def test_deferred_tiers_ready_for_registration():
+    """r05 rehearsal contract: the registration-deferred tiers must drop
+    into the registry without collisions, each spec complete (builder +
+    oracle + doc) — so enabling them is a one-line _MODULES append."""
+    from banking_etl_pipeline_spark.operators import (
+        bitext, privacy, reports, safety, tokenizer,
+    )
+    from banking_etl_pipeline_spark.registry import all_queries
+    from banking_etl_pipeline_spark.spec import QuerySpec
+
+    registered = set(all_queries())
+    seen: set[str] = set()
+    for mod in (reports, tokenizer, privacy, bitext, safety):
+        qs = mod.queries()
+        assert qs, mod.__name__
+        for key, spec in qs.items():
+            assert key not in registered, f"{key} collides with registry"
+            assert key not in seen, f"{key} duplicated across deferred tiers"
+            seen.add(key)
+            assert isinstance(spec, QuerySpec), key
+            assert callable(spec.build), key
+            assert spec.oracle and spec.oracle.strip().upper().startswith(
+                ("WITH", "SELECT")), f"{key}: oracle missing/odd"
+            assert spec.doc, f"{key}: missing description"
+    assert len(seen) == 20
