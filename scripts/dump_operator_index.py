@@ -63,12 +63,12 @@ def _deferred_queries() -> dict[str, dict]:
     """Registration-deferred operator tiers (see registry._MODULES note):
     complete QuerySpec surfaces awaiting a free driver window."""
     from banking_etl_pipeline_spark.operators import (  # noqa: E402
-        bitext, privacy, reports, safety, tokenizer,
+        bitext, preference, privacy, reports, safety, tokenizer,
     )
 
     return {
         mod.__name__.split("banking_etl_pipeline_spark.")[-1]: mod.queries()
-        for mod in (reports, tokenizer, privacy, bitext, safety)
+        for mod in (reports, tokenizer, privacy, bitext, safety, preference)
     }
 
 

@@ -60,6 +60,7 @@ GALLERY: dict[str, str] = {
     "safety_funnel": "One corpus scan → conditional sums for all funnel stages; no join, no window, the whole tier's shape.",
     "generalization_ladder": "Three tiny QI aggregates unioned; the release decision is a broadcast 1-row argmin join — never a driver-side branch.",
     "bpe_merge_train": "Eight merge rounds, each a bounded pair-count aggregate over the word dictionary (vocab-sized, never corpus-sized).",
+    "preference_budget_cap": "Rank-aligned chosen/rejected equi-join on (group, rank) — K pairs per group, never K×K — then one window running sum enforces the token budget.",
 }
 
 
@@ -68,9 +69,9 @@ def main() -> None:
     spark = get_spark(app_name="dump_plans")
     queries = dict(all_queries())
     from banking_etl_pipeline_spark.operators import (  # noqa: E402
-        bitext, privacy, reports, safety, tokenizer,
+        bitext, preference, privacy, reports, safety, tokenizer,
     )
-    for mod in (reports, tokenizer, privacy, bitext, safety):
+    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
         queries.update(mod.queries())
     out = [
         "# PLANS — representative physical plans (sf0.001, local[32], AQE on)",

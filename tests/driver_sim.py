@@ -37,10 +37,10 @@ def main() -> int:
         # r05 registration rehearsal: run the registration-deferred tiers
         # through the EXACT same comparison as the registered surface.
         from banking_etl_pipeline_spark.operators import (  # noqa: E402
-            bitext, privacy, reports, safety, tokenizer,
+            bitext, preference, privacy, reports, safety, tokenizer,
         )
 
-        for dmod in (reports, tokenizer, privacy, bitext, safety):
+        for dmod in (reports, tokenizer, privacy, bitext, safety, preference):
             for key, spec in dmod.queries().items():
                 assert key not in q, f"deferred key collides: {key}"
                 q[key] = spec.build

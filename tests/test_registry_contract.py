@@ -79,14 +79,14 @@ def test_deferred_tiers_ready_for_registration():
     into the registry without collisions, each spec complete (builder +
     oracle + doc) — so enabling them is a one-line _MODULES append."""
     from banking_etl_pipeline_spark.operators import (
-        bitext, privacy, reports, safety, tokenizer,
+        bitext, preference, privacy, reports, safety, tokenizer,
     )
     from banking_etl_pipeline_spark.registry import all_queries
     from banking_etl_pipeline_spark.spec import QuerySpec
 
     registered = set(all_queries())
     seen: set[str] = set()
-    for mod in (reports, tokenizer, privacy, bitext, safety):
+    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
         qs = mod.queries()
         assert qs, mod.__name__
         for key, spec in qs.items():
@@ -98,4 +98,4 @@ def test_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 20
+    assert len(seen) == 24
