@@ -159,7 +159,10 @@ def bitext_mining_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy("tgt_lang")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(acc.cast("long")).alias("n_pairs"),
+            # coalesce: NULL margins (no positive neighborhood normalizer)
+            # must count as not-accepted, matching the oracle's ELSE 0 —
+            # an all-NULL language would otherwise sum to NULL, not 0
+            F.sum(F.coalesce(acc.cast("long"), F.lit(0))).alias("n_pairs"),
             ftrunc(
                 F.sum(F.when(acc, F.col("m6")))
                 / F.sum(acc.cast("long")) / F.lit(1e6), 6

@@ -55,7 +55,10 @@ from ..spec import QuerySpec
 
 DP_EPSILON = 1.0  # release budget; b = sensitivity/ε = 1.0 for counts
 DP_SEED = 71
-_DP_MOD = 999_983  # prime; u = (h % m + 1)/(m + 1) ∈ (0,1), never 0.5
+# u = (h % m + 1)/(m + 1) ∈ (0,1); u = 0.5 IS attainable (k = (m+1)/2) and
+# maps to noise exactly 0.0 — the Laplace median — identically in both
+# engines (sign(0)·ln(1) = 0)
+_DP_MOD = 999_983
 
 
 def dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,7 @@ from .dedup import (
     minhash_lsh_cached,
     shingle_pair_commons_cached,
 )
-from ..session import default_parallelism, session_persist
+from ..session import default_parallelism, session_persist, session_scalar
 
 # ---------------------------------------------------------------------------
 # per-source quality datasheet
@@ -348,7 +348,10 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b",
         F.floor(F.col("est_jaccard") * 100.0 + 0.5).cast("long").alias("e100"),
     )
-    n_docs = table(spark, sf_dir, "documents").count()
+    n_docs = session_scalar(
+        spark, f"documents_count:{sf_dir}",
+        table(spark, sf_dir, "documents").count,
+    )
     t = F.explode(F.array(*[F.lit(x) for x in CURVE_THRESHOLDS])).alias("thr")
     exploded = pairs.select("doc_a", "doc_b", "e100", t).filter(
         F.col("e100") >= F.col("thr")
@@ -357,11 +360,11 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("doc_b").alias("n_dropped"),
     )
-    # thresholds with zero surviving pairs must still appear (0 rows cost)
-    all_thr = (
-        table(spark, sf_dir, "documents").limit(1)
-        .select(F.explode(F.array(*[F.lit(x) for x in CURVE_THRESHOLDS]))
-                .alias("thr"))
+    # thresholds with zero surviving pairs must still appear (0 rows cost);
+    # the spine is a literal relation so it exists even over an empty corpus
+    # (documents.limit(1) would vanish and drop all 8 rows)
+    all_thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in CURVE_THRESHOLDS])).alias("thr")
     )
     return (
         all_thr.join(per_thr, "thr", "left")

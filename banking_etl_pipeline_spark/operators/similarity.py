@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..session import session_persist
+from ..session import session_persist, session_scalar
 from ..functions.numeric import ftrunc, sql_ftrunc
 from ..functions.vectors import as_double, dot, hyperplane, norm
 from ..spec import QuerySpec
@@ -932,7 +932,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers "which pairs", SemDeDup answers "which copies to train on"
     with bounded per-cell cost."""
     e = _corpus(spark, sf_dir)
-    n_cells = semdedup_n_cells(table(spark, sf_dir, "embeddings").count())
+    n_cells = semdedup_n_cells(session_scalar(
+        spark, f"embeddings_count:{sf_dir}",
+        lambda: table(spark, sf_dir, "embeddings").count(),
+    ))
     centroids = (
         e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + n_cells - 1))
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),

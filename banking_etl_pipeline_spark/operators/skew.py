@@ -120,8 +120,11 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-distincted column instead: partial distinct map-side, one shuffle
     of unique keys, identical estimate, ~7x faster at sf0.1."""
     li = table(spark, sf_dir, "lineitem")
+    # count the COLUMN, not '*': after distinct() a NULL key would survive
+    # as one row, and count(*) would diverge from the oracle's
+    # COUNT(DISTINCT l_orderkey) (NULL-excluding) if the key ever nulled
     agg = li.select("l_orderkey").distinct().agg(
-        F.count("*").alias("exact_distinct"),
+        F.count("l_orderkey").alias("exact_distinct"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     )
     return agg.select(

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..catalog import table
-from ..session import session_persist
+from ..session import session_persist, session_scalar
 from ..spec import QuerySpec
 
 N_MERGES = 8
@@ -102,15 +102,17 @@ _SQL_WORD_DICT = f"""
 
 def _adjacent_pairs(df: DataFrame) -> DataFrame:
     """Explode each symbol string into its adjacent pairs, weighted by word
-    frequency.  Multiplicity within a word counts (standard BPE support)."""
-    t = F.split(F.col("sym"), " ")
+    frequency.  Multiplicity within a word counts (standard BPE support).
+    The split is hoisted into a named column — inside the transform lambda
+    it would be re-evaluated per element (the HOF constant-folding rule
+    SCALE.md documents)."""
+    toked = df.withColumn("toks", F.split(F.col("sym"), " "))
     pair_arr = F.expr(
-        "transform(sequence(1, size(split(sym, ' ')) - 1),"
-        " i -> concat(element_at(split(sym, ' '), i), ' ',"
-        "             element_at(split(sym, ' '), i + 1)))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
     return (
-        df.filter(F.size(t) >= 2)
+        toked.filter(F.size(F.col("toks")) >= 2)
         .select(F.explode(pair_arr).alias("pair"), "freq")
         .groupBy("pair")
         .agg(F.sum("freq").alias("support"))
@@ -314,22 +316,29 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unpivoted via stack; no inequality join, no NLJ.  The single
     driver-side scalar is n_docs (1-row collect)."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = session_scalar(
+        spark, f"documents_count:{sf_dir}", d.count)
     ts = [(n_docs * k) // N_PREFIXES for k in range(1, N_PREFIXES + 1)]
 
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    # coalesce: SUM over an empty corpus is NULL in Spark but the oracle's
+    # scalar COUNT(*) subqueries yield 0 — pin both to 0
     vocab_row = firsts.agg(
         *[
-            F.sum((F.col("first_doc") < F.lit(t)).cast("long")).alias(f"v{k}")
+            F.coalesce(
+                F.sum((F.col("first_doc") < F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"v{k}")
             for k, t in enumerate(ts, start=1)
         ]
     )
     occ_row = toks.agg(
         *[
-            F.sum((F.col("doc_id") < F.lit(t)).cast("long")).alias(f"o{k}")
+            F.coalesce(
+                F.sum((F.col("doc_id") < F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"o{k}")
             for k, t in enumerate(ts, start=1)
         ]
     )

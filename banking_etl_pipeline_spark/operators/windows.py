@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..session import session_scalar
 from ..functions.numeric import cents, ftrunc, sql_ftrunc
 from ..spec import QuerySpec
 
@@ -1408,8 +1409,10 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     s←0.75·s+0.25·x and the identical floor-truncation; proven by the
     dual-path oracle test in tests/test_skewed_inputs.py)."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    longest = (
-        e.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0
+    longest = session_scalar(
+        spark, f"ewma_longest:{sf_dir}",
+        lambda: e.groupBy("user_id").count().agg(F.max("count"))
+        .first()[0] or 0,
     )
     if longest > EWMA_MAX_ARRAY_LEN:  # pragma: no cover (test SFs are small;
         # the pandas path itself is oracle-tested directly in the skew suite)

@@ -41,6 +41,25 @@ def session_persist(spark: SparkSession, tag: str,
     return _DF_CACHE[key]
 
 
+# Session-scoped scalar cache, same lifecycle as _DF_CACHE: a few builders
+# need one driver-side scalar (a table count, a longest-series gate) to
+# parameterize the plan. Computing it per build() call launches a real Spark
+# job every time bench/plan-dump re-invokes the builder; per (session, tag)
+# the input is immutable, so compute once.
+_SCALAR_CACHE: dict[tuple[str, str], object] = {}
+
+
+def session_scalar(spark: SparkSession, tag: str,
+                   compute: Callable[[], object]) -> object:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _SCALAR_CACHE if k[0] != app]:
+        del _SCALAR_CACHE[stale]
+    key = (app, tag)
+    if key not in _SCALAR_CACHE:
+        _SCALAR_CACHE[key] = compute()
+    return _SCALAR_CACHE[key]
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 

@@ -17,28 +17,41 @@ from banking_etl_pipeline_spark.registry import (  # noqa: E402
     _MODULES,
     _driver_verified_keys,
     _oracle_sha,
-    _recorded_oracle_shas,
     all_queries,
     driver_verified_keys,
 )
 
 
-def _update_oracle_shas(queries, verified) -> None:
+def _update_oracle_shas(queries) -> None:
     """Merge-update ORACLE_SHAS.json (run right after each driver round).
 
     Rules: (1) keys green in the LATEST CORRECTNESS_r*.json get the current
-    oracle sha — that row certified the SQL as it stands now; (2) green keys
-    with no recorded sha are bootstrapped to current; (3) keys green only in
-    older rounds keep their old sha, so a later oracle-SQL edit correctly
-    re-queues them (registry.driver_verified_keys drops sha mismatches)."""
+    oracle sha — but only on the FIRST refresh after that round landed
+    (`__meta__.stamped_round` tracks it): that first refresh certifies the
+    SQL the round actually ran; later refreshes in the same round must NOT
+    re-stamp, or an oracle edit made after the round would be silently
+    re-certified and never re-queued; (2) green keys with no recorded sha
+    are bootstrapped to current; (3) keys green only in older rounds keep
+    their old sha, so a later oracle-SQL edit correctly re-queues them
+    (registry.driver_verified_keys drops sha mismatches)."""
     import glob
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recorded = _recorded_oracle_shas()
+    path = os.path.join(root, "ORACLE_SHAS.json")
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        raw = raw if isinstance(raw, dict) else {}
+    except (OSError, ValueError):
+        raw = {}
+    meta = raw.pop("__meta__", {})
+    recorded = {k: v for k, v in raw.items() if isinstance(v, str)}
     latest_green: set[str] = set()
+    latest_round = None
     rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if rounds:
+        latest_round = os.path.basename(rounds[-1])
         try:
             with open(rounds[-1]) as f:
                 rows = json.load(f)
@@ -49,14 +62,26 @@ def _update_oracle_shas(queries, verified) -> None:
             }
         except (OSError, ValueError):
             pass
+    first_refresh_this_round = (
+        latest_round is not None
+        and meta.get("stamped_round") != latest_round
+    )
     # iterate the RAW green set (pre-invalidation): a key re-greened in the
     # latest round is raw-green but sha-invalidated until this very refresh
     for key in _driver_verified_keys():
-        if key in queries and (key in latest_green or key not in recorded):
+        if key not in queries:
+            continue
+        if key not in recorded or (
+            key in latest_green and first_refresh_this_round
+        ):
             recorded[key] = _oracle_sha(queries[key])
-    with open(os.path.join(root, "ORACLE_SHAS.json"), "w") as f:
-        json.dump(dict(sorted(recorded.items())), f, indent=1)
-    print(f"ORACLE_SHAS.json: {len(recorded)} recorded")
+    out = dict(sorted(recorded.items()))
+    if latest_round is not None:
+        out["__meta__"] = {"stamped_round": latest_round}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"ORACLE_SHAS.json: {len(recorded)} recorded "
+          f"(stamped_round={latest_round})")
 
 
 def _deferred_queries() -> dict[str, dict]:
@@ -127,7 +152,7 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"OPERATORS.md regenerated: {len(queries)} queries "
           f"({sum(1 for k in queries if k in verified)} driver-green)")
-    _update_oracle_shas(queries, verified)
+    _update_oracle_shas(queries)
 
 
 if __name__ == "__main__":
