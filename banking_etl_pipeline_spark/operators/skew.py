@@ -129,8 +129,13 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "exact_distinct",
-        (F.abs(F.col("approx") - F.col("exact_distinct"))
-         / F.col("exact_distinct") <= 0.06).alias("approx_within_tolerance"),
+        # guard the 0/0 on an empty table (ANSI division throws): the
+        # oracle's verdict on zero distinct keys is vacuously TRUE
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct") <= 0.06,
+        ).otherwise(F.lit(True)).alias("approx_within_tolerance"),
     )
 
 
@@ -442,8 +447,14 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             "members_passed",
             "nonmembers_passed",
+            # n_keys = 0 (empty table) must yield NULL like the oracle's
+            # x/0, not an ANSI divide-by-zero error
             ftrunc(
-                F.col("nonmembers_passed").cast("double") / F.col("n_keys"), 6
+                F.when(
+                    F.col("n_keys") > 0,
+                    F.col("nonmembers_passed").cast("double")
+                    / F.col("n_keys"),
+                ), 6
             ).alias("fpr"),
         )
     )

@@ -45,3 +45,49 @@ def test_runs_on_empty_universe(key, spark, empty_dir):
     df = spec.build(spark, empty_dir)
     assert len(df.schema) > 0
     assert df.count() >= 0
+
+
+# Engine-level divergences on an EMPTY relation, documented rather than
+# papered over (the driver's comparison runs at sf0.01 where none apply):
+# - cube_rollup / grouping_sets: SQL GROUP BY CUBE emits the grand-total
+#   grouping-set row (count 0) over an empty input; Spark's cube/rollup
+#   emits zero rows. Matching would mean unioning a synthetic ()-row into
+#   the registered plan for a case the pipeline never produces.
+# - table_profile: the oracle's per-column scaffold (one rollup row per
+#   profiled column) survives an empty table; Spark's stack-unpivot of
+#   zero rows is empty.
+_EMPTY_ORACLE_DIVERGENCES = {"cube_rollup", "grouping_sets", "table_profile"}
+
+
+def test_empty_universe_oracle_parity(spark, empty_dir):
+    """Value-level oracle parity on the empty universe — the exact driver
+    comparison, over a corpus where NULL-vs-0 aggregate edges and ANSI
+    division-by-zero guards actually bite (this sweep found and pinned the
+    approx_distinct/bloom_filter_probe 0/0 crashes and three NULL-vs-zero
+    deferred-tier edges)."""
+    import duckdb
+
+    from banking_etl_pipeline_spark.operators import (
+        bitext, preference, privacy, reports, safety, tokenizer,
+    )
+    from tests.oracle_compare import TABLES as _T, compare
+
+    con = duckdb.connect()
+    for t in _T:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM '{empty_dir}/{t}.parquet/*.parquet'"
+        )
+    specs = dict(all_queries())
+    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
+        specs.update(mod.queries())
+    bad = []
+    for key, spec in specs.items():
+        if (spec.oracle is None or key.startswith("streaming_")
+                or key in _SKIP or key in _EMPTY_ORACLE_DIVERGENCES):
+            continue
+        r = compare(spec.build(spark, empty_dir), con, spec.oracle)
+        if not (r["row_count_match"] and r["columns_match"]
+                and r["values_match"]):
+            bad.append((key, str(r["detail"])[:120]))
+    assert not bad, f"empty-universe parity mismatches: {bad}"
