@@ -103,3 +103,37 @@ def test_ewma_dispatch_threshold(spark, skew_dir, monkeypatch):
     monkeypatch.setattr(W, "EWMA_MAX_ARRAY_LEN", 10)
     p = plan_of(W.ewma_smoothing(spark, skew_dir))
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_skewed_universe_oracle_parity(spark, skew_dir):
+    """Value-level oracle parity on the one-hot-key universe — the exact
+    driver comparison under pathological key distribution, where any
+    missing tie-break or order-dependent float fold would flip the hash
+    (companion to the empty-universe parity gate)."""
+    import duckdb
+
+    from banking_etl_pipeline_spark.operators import (
+        bitext, preference, privacy, reports, safety, tokenizer,
+    )
+    from banking_etl_pipeline_spark.registry import all_queries
+    from tests.oracle_compare import TABLES as _T, compare
+
+    con = duckdb.connect()
+    for t in _T:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM '{skew_dir}/{t}.parquet/*.parquet'"
+        )
+    specs = dict(all_queries())
+    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
+        specs.update(mod.queries())
+    bad = []
+    for key, spec in specs.items():
+        if (spec.oracle is None or key.startswith("streaming_")
+                or key == "banking_txn_pipeline"):
+            continue
+        r = compare(spec.build(spark, skew_dir), con, spec.oracle)
+        if not (r["row_count_match"] and r["columns_match"]
+                and r["values_match"]):
+            bad.append((key, str(r["detail"])[:120]))
+    assert not bad, f"skewed-universe parity mismatches: {bad}"
