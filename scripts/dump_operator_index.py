@@ -85,15 +85,13 @@ def _update_oracle_shas(queries) -> None:
 
 
 def _deferred_queries() -> dict[str, dict]:
-    """Registration-deferred operator tiers (see registry._MODULES note):
-    complete QuerySpec surfaces awaiting a free driver window."""
-    from banking_etl_pipeline_spark.operators import (  # noqa: E402
-        bitext, preference, privacy, reports, safety, tokenizer,
-    )
+    """Registration-deferred operator tiers (registry.deferred_modules —
+    the single source of the deferred list)."""
+    from banking_etl_pipeline_spark.registry import deferred_modules
 
     return {
         mod.__name__.split("banking_etl_pipeline_spark.")[-1]: mod.queries()
-        for mod in (reports, tokenizer, privacy, bitext, safety, preference)
+        for mod in deferred_modules()
     }
 
 

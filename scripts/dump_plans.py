@@ -68,11 +68,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="dump_plans")
     queries = dict(all_queries())
-    from banking_etl_pipeline_spark.operators import (  # noqa: E402
-        bitext, preference, privacy, reports, safety, tokenizer,
-    )
-    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
-        queries.update(mod.queries())
+    from banking_etl_pipeline_spark.registry import deferred_queries
+    queries.update(deferred_queries())
     out = [
         "# PLANS — representative physical plans (sf0.001, local[32], AQE on)",
         "",

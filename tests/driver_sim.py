@@ -36,15 +36,14 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_INCLUDE_DEFERRED"):
         # r05 registration rehearsal: run the registration-deferred tiers
         # through the EXACT same comparison as the registered surface.
-        from banking_etl_pipeline_spark.operators import (  # noqa: E402
-            bitext, preference, privacy, reports, safety, tokenizer,
+        from banking_etl_pipeline_spark.registry import (  # noqa: E402
+            deferred_queries,
         )
 
-        for dmod in (reports, tokenizer, privacy, bitext, safety, preference):
-            for key, spec in dmod.queries().items():
-                assert key not in q, f"deferred key collides: {key}"
-                q[key] = spec.build
-                osql[key] = spec.oracle
+        for key, spec in deferred_queries().items():
+            assert key not in q, f"deferred key collides: {key}"
+            q[key] = spec.build
+            osql[key] = spec.oracle
     bad = []
     for key, fn in q.items():
         sdf = fn(spark, sf)

@@ -67,9 +67,6 @@ def test_empty_universe_oracle_parity(spark, empty_dir):
     deferred-tier edges)."""
     import duckdb
 
-    from banking_etl_pipeline_spark.operators import (
-        bitext, preference, privacy, reports, safety, tokenizer,
-    )
     from tests.oracle_compare import TABLES as _T, compare
 
     con = duckdb.connect()
@@ -78,9 +75,10 @@ def test_empty_universe_oracle_parity(spark, empty_dir):
             f"CREATE VIEW {t} AS"
             f" SELECT * FROM '{empty_dir}/{t}.parquet/*.parquet'"
         )
+    from banking_etl_pipeline_spark.registry import deferred_queries
+
     specs = dict(all_queries())
-    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
-        specs.update(mod.queries())
+    specs.update(deferred_queries())
     bad = []
     for key, spec in specs.items():
         if (spec.oracle is None or key.startswith("streaming_")

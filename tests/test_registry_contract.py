@@ -78,15 +78,15 @@ def test_deferred_tiers_ready_for_registration():
     """r05 rehearsal contract: the registration-deferred tiers must drop
     into the registry without collisions, each spec complete (builder +
     oracle + doc) — so enabling them is a one-line _MODULES append."""
-    from banking_etl_pipeline_spark.operators import (
-        bitext, preference, privacy, reports, safety, tokenizer,
+    from banking_etl_pipeline_spark.registry import (
+        all_queries,
+        deferred_modules,
     )
-    from banking_etl_pipeline_spark.registry import all_queries
     from banking_etl_pipeline_spark.spec import QuerySpec
 
     registered = set(all_queries())
     seen: set[str] = set()
-    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
+    for mod in deferred_modules():
         qs = mod.queries()
         assert qs, mod.__name__
         for key, spec in qs.items():

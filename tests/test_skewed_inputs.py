@@ -112,9 +112,6 @@ def test_skewed_universe_oracle_parity(spark, skew_dir):
     (companion to the empty-universe parity gate)."""
     import duckdb
 
-    from banking_etl_pipeline_spark.operators import (
-        bitext, preference, privacy, reports, safety, tokenizer,
-    )
     from banking_etl_pipeline_spark.registry import all_queries
     from tests.oracle_compare import TABLES as _T, compare
 
@@ -124,9 +121,10 @@ def test_skewed_universe_oracle_parity(spark, skew_dir):
             f"CREATE VIEW {t} AS"
             f" SELECT * FROM '{skew_dir}/{t}.parquet/*.parquet'"
         )
+    from banking_etl_pipeline_spark.registry import deferred_queries
+
     specs = dict(all_queries())
-    for mod in (reports, tokenizer, privacy, bitext, safety, preference):
-        specs.update(mod.queries())
+    specs.update(deferred_queries())
     bad = []
     for key, spec in specs.items():
         if (spec.oracle is None or key.startswith("streaming_")
