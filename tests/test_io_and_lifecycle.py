@@ -126,6 +126,19 @@ def test_cli_list_and_query(spark, sf_dir, capsys):
 
     assert main(["--query", "nope_not_a_key"]) == 2
 
+    # deferred keys are listed (marked) and runnable ad hoc
+    assert main(["--list"]) == 0
+    marked = {
+        _json.loads(l)["key"]
+        for l in capsys.readouterr().out.splitlines()
+        if l.strip() and _json.loads(l).get("deferred")
+    }
+    assert "safety_funnel" in marked and len(marked) == 24
+    assert main(["--query", "safety_funnel", "--sf-dir", sf_dir,
+                 "--limit", "1"]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert out and "n_clean" in out[0]
+
 
 # ---------------------------------------------------------------------------
 # Delta Lake runtime path (reference parity: spark_session.py:19-20,
