@@ -61,6 +61,7 @@ GALLERY: dict[str, str] = {
     "generalization_ladder": "Three tiny QI aggregates unioned; the release decision is a broadcast 1-row argmin join — never a driver-side branch.",
     "bpe_merge_train": "Eight merge rounds, each a bounded pair-count aggregate over the word dictionary (vocab-sized, never corpus-sized).",
     "preference_budget_cap": "Rank-aligned chosen/rejected equi-join on (group, rank) — K pairs per group, never K×K — then one window running sum enforces the token budget.",
+    "phase_vocab_overlap": "Distinct (bigram, phase) relation → per-bigram presence flags in ONE aggregate → conditional sums; vocabulary-sized shuffles, no vocab self-join.",
 }
 
 
