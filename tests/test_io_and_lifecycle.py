@@ -133,7 +133,10 @@ def test_cli_list_and_query(spark, sf_dir, capsys):
         for l in capsys.readouterr().out.splitlines()
         if l.strip() and _json.loads(l).get("deferred")
     }
-    assert "safety_funnel" in marked and len(marked) == 24
+    from banking_etl_pipeline_spark.registry import deferred_queries
+
+    assert "safety_funnel" in marked
+    assert marked == set(deferred_queries())
     assert main(["--query", "safety_funnel", "--sf-dir", sf_dir,
                  "--limit", "1"]) == 0
     out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
