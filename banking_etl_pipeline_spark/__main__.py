@@ -100,10 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.query:
         from pyspark.sql import SparkSession
 
-        from .registry import all_queries, deferred_queries
+        from .registry import merged_queries
 
-        queries = dict(all_queries())
-        queries.update(deferred_queries())  # runnable ad hoc pre-registration
+        queries = merged_queries()  # deferred keys runnable ad hoc too
         if args.query not in queries:
             print(f"unknown query {args.query!r}; use --list", file=sys.stderr)
             return 2

@@ -212,18 +212,18 @@ def phase_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in (1, 2, 3)
         ]
     )
-    rows = []
-    for a, b in ((1, 2), (2, 3)):
-        rows.append(
-            flags.agg(
-                F.lit(a).alias("phase_a"),
-                F.lit(b).alias("phase_b"),
-                F.sum(F.col(f"p{a}")).alias("vocab_a"),
-                F.sum(F.col(f"p{b}")).alias("vocab_b"),
-                F.sum(F.col(f"p{a}") * F.col(f"p{b}")).alias("vocab_common"),
-            )
-        )
-    out = rows[0].unionByName(rows[1])
+    # ALL five sums in one aggregate, then a 1-row stack reshape — a
+    # per-pair aggregate would duplicate the scan→explode→distinct subtree
+    s = flags.agg(
+        F.sum("p1").alias("v1"), F.sum("p2").alias("v2"),
+        F.sum("p3").alias("v3"),
+        F.sum(F.col("p1") * F.col("p2")).alias("c12"),
+        F.sum(F.col("p2") * F.col("p3")).alias("c23"),
+    )
+    out = s.selectExpr(
+        "stack(2, 1, 2, v1, v2, c12, 2, 3, v2, v3, c23)"
+        " AS (phase_a, phase_b, vocab_a, vocab_b, vocab_common)"
+    )
     union = F.col("vocab_a") + F.col("vocab_b") - F.col("vocab_common")
     return out.select(
         "phase_a", "phase_b", "vocab_a", "vocab_b", "vocab_common",
@@ -256,17 +256,19 @@ flags AS (
          CAST(MAX(CASE WHEN phase = 3 THEN 1 ELSE 0 END) AS BIGINT) AS p3
   FROM toks GROUP BY tok
 ),
+s AS MATERIALIZED (
+  SELECT CAST(SUM(p1) AS BIGINT) AS v1,
+         CAST(SUM(p2) AS BIGINT) AS v2,
+         CAST(SUM(p3) AS BIGINT) AS v3,
+         CAST(SUM(p1 * p2) AS BIGINT) AS c12,
+         CAST(SUM(p2 * p3) AS BIGINT) AS c23
+  FROM flags
+),
 pairs AS (
   SELECT 1 AS phase_a, 2 AS phase_b,
-         CAST(SUM(p1) AS BIGINT) AS vocab_a,
-         CAST(SUM(p2) AS BIGINT) AS vocab_b,
-         CAST(SUM(p1 * p2) AS BIGINT) AS vocab_common
-  FROM flags
+         v1 AS vocab_a, v2 AS vocab_b, c12 AS vocab_common FROM s
   UNION ALL
-  SELECT 2, 3,
-         CAST(SUM(p2) AS BIGINT), CAST(SUM(p3) AS BIGINT),
-         CAST(SUM(p2 * p3) AS BIGINT)
-  FROM flags
+  SELECT 2, 3, v2, v3, c23 FROM s
 )
 SELECT phase_a, phase_b, vocab_a, vocab_b, vocab_common,
        {sql_ftrunc(

@@ -175,14 +175,31 @@ def _recorded_oracle_shas() -> dict[str, str]:
         return {}
 
 
+def _module_queries(mod) -> dict[str, QuerySpec]:
+    """A module's query dict — `QUERIES` attribute or `queries()` function
+    (the deferred tiers use the latter, so moving a name from
+    _DEFERRED_MODULE_NAMES into _MODULES works without rewriting the
+    module)."""
+    qs = getattr(mod, "QUERIES", None)
+    return dict(qs) if qs is not None else mod.queries()
+
+
 def _registered() -> dict[str, QuerySpec]:
     ordered: dict[str, QuerySpec] = {}
     for mod in _MODULES:
-        for key, spec in mod.QUERIES.items():
+        for key, spec in _module_queries(mod).items():
             if key in ordered:
                 raise ValueError(f"duplicate query key {key!r}")
             ordered[key] = spec
     return ordered
+
+
+def merged_queries() -> dict[str, QuerySpec]:
+    """Registered queries (unverified-first order) plus the deferred tiers
+    — the full built surface, for consumers that want both."""
+    out = dict(all_queries())
+    out.update(deferred_queries())
+    return out
 
 
 def driver_verified_keys() -> set[str]:

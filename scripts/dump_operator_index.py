@@ -39,19 +39,27 @@ def _update_oracle_shas(queries) -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "ORACLE_SHAS.json")
-    try:
+    if os.path.exists(path):
+        # an unreadable shas file must ABORT, not proceed with an empty
+        # baseline: the bootstrap rule would re-stamp every green key with
+        # its CURRENT sha, silently re-certifying post-round oracle edits
         with open(path) as f:
             raw = json.load(f)
-        raw = raw if isinstance(raw, dict) else {}
-    except (OSError, ValueError):
+        if not isinstance(raw, dict):
+            raise SystemExit(
+                f"{path} is not a JSON object — refusing to rebuild the "
+                "sha baseline from scratch; fix or delete the file "
+                "deliberately")
+    else:
         raw = {}
     meta = raw.pop("__meta__", {})
+    if not isinstance(meta, dict):
+        meta = {}
     recorded = {k: v for k, v in raw.items() if isinstance(v, str)}
     latest_green: set[str] = set()
     latest_round = None
     rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if rounds:
-        latest_round = os.path.basename(rounds[-1])
         try:
             with open(rounds[-1]) as f:
                 rows = json.load(f)
@@ -60,6 +68,10 @@ def _update_oracle_shas(queries) -> None:
                 if isinstance(r, dict) and r.get("rows_match")
                 and r.get("schema_match") and r.get("hash_match")
             }
+            # only a successfully-parsed round claims the one-time stamping
+            # window; a truncated artifact must not burn it (the repaired
+            # file under the same name still gets its first refresh)
+            latest_round = os.path.basename(rounds[-1])
         except (OSError, ValueError):
             pass
     first_refresh_this_round = (
@@ -78,6 +90,8 @@ def _update_oracle_shas(queries) -> None:
     out = dict(sorted(recorded.items()))
     if latest_round is not None:
         out["__meta__"] = {"stamped_round": latest_round}
+    elif meta:
+        out["__meta__"] = meta  # unreadable round: keep the prior window
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"ORACLE_SHAS.json: {len(recorded)} recorded "

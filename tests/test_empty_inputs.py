@@ -75,10 +75,9 @@ def test_empty_universe_oracle_parity(spark, empty_dir):
             f"CREATE VIEW {t} AS"
             f" SELECT * FROM '{empty_dir}/{t}.parquet/*.parquet'"
         )
-    from banking_etl_pipeline_spark.registry import deferred_queries
+    from banking_etl_pipeline_spark.registry import merged_queries
 
-    specs = dict(all_queries())
-    specs.update(deferred_queries())
+    specs = merged_queries()
     bad = []
     for key, spec in specs.items():
         if (spec.oracle is None or key.startswith("streaming_")

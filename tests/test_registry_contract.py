@@ -99,3 +99,22 @@ def test_deferred_tiers_ready_for_registration():
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
     assert len(seen) == 28
+
+
+def test_deferred_registration_actually_works(monkeypatch):
+    """Don't just assert readiness — perform the r05 registration against a
+    patched _MODULES and walk the real code path (this is the test that
+    would have caught _registered() requiring a QUERIES attribute the
+    deferred modules don't have)."""
+    from banking_etl_pipeline_spark import registry
+
+    monkeypatch.setattr(
+        registry, "_MODULES",
+        list(registry._MODULES) + registry.deferred_modules(),
+    )
+    merged = registry.all_queries()
+    assert len(merged) == 199 + len(registry.deferred_queries())
+    assert "curriculum_order" in merged and "pricing_summary" in merged
+    # deferred keys have no driver rows yet → the rotation emits them early
+    order = list(merged)
+    assert order.index("curriculum_order") < order.index("pricing_summary")

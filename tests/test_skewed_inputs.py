@@ -121,10 +121,9 @@ def test_skewed_universe_oracle_parity(spark, skew_dir):
             f"CREATE VIEW {t} AS"
             f" SELECT * FROM '{skew_dir}/{t}.parquet/*.parquet'"
         )
-    from banking_etl_pipeline_spark.registry import deferred_queries
+    from banking_etl_pipeline_spark.registry import merged_queries
 
-    specs = dict(all_queries())
-    specs.update(deferred_queries())
+    specs = merged_queries()
     bad = []
     for key, spec in specs.items():
         if (spec.oracle is None or key.startswith("streaming_")
