@@ -62,6 +62,7 @@ GALLERY: dict[str, str] = {
     "bpe_merge_train": "Eight merge rounds, each a bounded pair-count aggregate over the word dictionary (vocab-sized, never corpus-sized).",
     "preference_budget_cap": "Rank-aligned chosen/rejected equi-join on (group, rank) — K pairs per group, never K×K — then one window running sum enforces the token budget.",
     "phase_vocab_overlap": "Distinct (bigram, phase) relation → per-bigram presence flags in ONE aggregate → conditional sums; vocabulary-sized shuffles, no vocab self-join.",
+    "lf_coverage_report": "Whole LFAnalysis table (coverage/polarity/overlap/conflict × 4 LFs) from ONE aggregate of conditional sums, stack-reshaped; no join.",
 }
 
 
