@@ -200,14 +200,19 @@ FROM scaled
 """
 
 
-FEATURES_SCHEMA = "doc_id long, feature array<double>, feat_norm double"
+FEATURES_SCHEMA = "doc_id long, feature string, feat_norm double"
 N_FEATURES = 8
+FEATURE_FP = 1e8  # fixed-point scale for the serialized feature vector
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: bytes → fixed-width feature vector. STUB features
     are per-bucket byte-value histograms (a real, deterministic computation
-    over the raw bytes — the shape a CNN/CLIP embedding step would fill)."""
+    over the raw bytes — the shape a CNN/CLIP embedding step would fill).
+    The vector ships as a comma-joined fixed-point string (floor(v·1e8+0.5)
+    of each normalized double — exact, because both engines derive v from
+    the same integer counts): the driver's canonicalizer cannot sort raw
+    array columns, and fixed-point keeps the string compare bit-safe."""
     import numpy as np
 
     for pdf in batches:
@@ -218,7 +223,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                minlength=N_FEATURES).astype("float64")
             total = hist.sum()
             vec = hist / total if total else hist
-            feats.append(vec.tolist())
+            qvec = np.floor(vec * FEATURE_FP + 0.5).astype(np.int64)
+            feats.append(",".join(str(int(x)) for x in qvec))
             norms.append(float(np.sqrt((vec * vec).sum())))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"], "feature": feats, "feat_norm": norms}
@@ -250,7 +256,12 @@ v AS (
   FROM raw
 )
 SELECT doc_id,
-       [v0, v1, v2, v3, 0.0, 0.0, 0.0, 0.0] AS feature,
+       concat_ws(',',
+         CAST(FLOOR(v0 * 1e8 + 0.5) AS BIGINT),
+         CAST(FLOOR(v1 * 1e8 + 0.5) AS BIGINT),
+         CAST(FLOOR(v2 * 1e8 + 0.5) AS BIGINT),
+         CAST(FLOOR(v3 * 1e8 + 0.5) AS BIGINT),
+         0, 0, 0, 0) AS feature,
        sqrt(v0*v0 + v1*v1 + v2*v2 + v3*v3) AS feat_norm
 FROM v
 """

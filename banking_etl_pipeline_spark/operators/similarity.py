@@ -615,9 +615,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential-fold dot product (bit-identical to DuckDB's
     list_dot_product, see functions/vectors.py), then each component maps
     to round(127·x/‖v‖) with the floor(+0.5) convention both engines
-    share. Output is the int array itself (exact integer compare) plus the
-    double scale needed to dequantize. Narrow scan→project: no shuffle,
-    no UDF — 100 TB of vectors quantize at full scan bandwidth.
+    share. Output is the quantized vector serialized as a comma-joined
+    int string (exact integers → bit-safe string compare; the driver's
+    canonicalizer cannot sort raw array columns) plus the double scale
+    needed to dequantize. Narrow scan→project: no shuffle, no UDF —
+    100 TB of vectors quantize at full scan bandwidth.
     """
     e = table(spark, sf_dir, "embeddings")
     # hoist the norm to a named column FIRST: a HOF lambda re-evaluates
@@ -629,22 +631,24 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("scale", norm(F.col("v")))
     q = F.transform(
         F.col("v"),
-        lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int"),
+        lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5)
+        .cast("int")
+        .cast("string"),
     )
-    return base.select("vec_id", "scale", q.alias("q8"))
+    return base.select("vec_id", "scale", F.array_join(q, ",").alias("q8"))
 
 
 EMBEDDING_QUANTIZE_SQL = """
 SELECT vec_id,
        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
            AS scale,
-       list_transform(
+       array_to_string(list_transform(
          embedding::DOUBLE[],
          x -> CAST(FLOOR(x * 127.0 /
                 sqrt(list_dot_product(embedding::DOUBLE[],
                                       embedding::DOUBLE[])) + 0.5)
               AS INTEGER)
-       ) AS q8
+       ), ',') AS q8
 FROM embeddings
 """
 

@@ -198,7 +198,13 @@ def merged_queries() -> dict[str, QuerySpec]:
     """Registered queries (unverified-first order) plus the deferred tiers
     — the full built surface, for consumers that want both."""
     out = dict(all_queries())
-    out.update(deferred_queries())
+    for key, spec in deferred_queries().items():
+        if key in out:
+            raise ValueError(
+                f"deferred key {key!r} collides with a registered query — "
+                "it would shadow the registered QuerySpec for CLI/dump_plans"
+            )
+        out[key] = spec
     return out
 
 

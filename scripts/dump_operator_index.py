@@ -78,6 +78,18 @@ def _update_oracle_shas(queries) -> None:
         latest_round is not None
         and meta.get("stamped_round") != latest_round
     )
+    # shas captured at driver_sim verification time (the rehearsal the round
+    # snapshot shipped with): stamping from these instead of the current SQL
+    # means an oracle edit made between round-landing and this refresh
+    # re-queues the key (safe) rather than being silently certified. Worst
+    # case — an edit between the last sim run and the round snapshot — the
+    # stale pending sha needlessly re-queues a genuinely certified key.
+    try:
+        with open(os.path.join(root, "ORACLE_SHAS_PENDING.json")) as f:
+            pending = {k: v for k, v in json.load(f).items()
+                       if isinstance(v, str)}
+    except (OSError, ValueError):
+        pending = {}
     # iterate the RAW green set (pre-invalidation): a key re-greened in the
     # latest round is raw-green but sha-invalidated until this very refresh
     for key in _driver_verified_keys():
@@ -86,7 +98,7 @@ def _update_oracle_shas(queries) -> None:
         if key not in recorded or (
             key in latest_green and first_refresh_this_round
         ):
-            recorded[key] = _oracle_sha(queries[key])
+            recorded[key] = pending.get(key) or _oracle_sha(queries[key])
     out = dict(sorted(recorded.items()))
     if latest_round is not None:
         out["__meta__"] = {"stamped_round": latest_round}
@@ -112,9 +124,11 @@ def _deferred_queries() -> dict[str, dict]:
 def main() -> None:
     verified = driver_verified_keys()
     key_module: dict[str, str] = {}
+    from banking_etl_pipeline_spark.registry import _module_queries
+
     for mod in _MODULES:
         name = mod.__name__.split("banking_etl_pipeline_spark.")[-1]
-        for key in mod.QUERIES:
+        for key in _module_queries(mod):
             key_module[key] = name
     queries = all_queries()
     lines = [

@@ -44,9 +44,20 @@ def main() -> int:
             assert key not in q, f"deferred key collides: {key}"
             q[key] = spec.build
             osql[key] = spec.oracle
+    from pyspark.sql.types import ArrayType, MapType
+
     bad = []
     for key, fn in q.items():
         sdf = fn(spark, sf)
+        # driver-fidelity guard: the driver pandas-sorts result columns and
+        # crashes on unhashable cells — a top-level array/map column is an
+        # error here even though tuple-ized rows would compare fine locally
+        arr_cols = [f.name for f in sdf.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType))]
+        if arr_cols:
+            print(f"{key}: ERR array/map output columns {arr_cols}")
+            bad.append(key)
+            continue
         srows = [
             tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in sdf.collect()
         ]
@@ -65,6 +76,21 @@ def main() -> int:
         if not ok:
             bad.append(key)
     print(f"summary: {len(q) - len(bad)}/{len(q)} ok; mismatched: {bad}")
+    if not bad:
+        # snapshot each key's oracle sha AT VERIFICATION TIME: the index
+        # refresh after the next driver round stamps newly-green keys from
+        # this file instead of the then-current SQL, so an oracle edit made
+        # between round-landing and the refresh re-queues (safe) instead of
+        # being silently certified (scripts/dump_operator_index.py).
+        import hashlib
+        import json
+
+        shas = {
+            k: hashlib.sha256(osql[k].encode()).hexdigest()[:16]
+            for k in q if k in osql
+        }
+        with open(os.path.join(REPO, "ORACLE_SHAS_PENDING.json"), "w") as f:
+            json.dump(dict(sorted(shas.items())), f, indent=1)
     return 1 if bad else 0
 
 

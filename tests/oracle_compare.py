@@ -57,6 +57,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    # Driver-canonicalizer contract: the driver pandas-sorts result columns,
+    # which crashes on unhashable cells (TypeError: unhashable type: 'list').
+    # No query may emit a top-level array/map column — serialize to a
+    # deterministic string instead (array_join / array_to_string of exact
+    # ints or fixed-point values). Enforced here so every parity path
+    # (registered, deferred, empty/skew sweeps, driver_sim) hits it.
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [f.name for f in spark_df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType))]
+    assert not bad, (
+        f"top-level array/map output columns {bad} would crash the driver's "
+        "canonicalizer — serialize them to deterministic strings"
+    )
     spark_rows = [r.asDict(recursive=True) for r in spark_df.collect()]
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]

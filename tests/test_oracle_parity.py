@@ -31,6 +31,16 @@ def test_oracle_parity(key, spark, sf_dir, con):
     assert res["values_match"], f"{key}: {res}"
 
 
+def test_compare_rejects_array_outputs(spark, sf_dir, con):
+    """Driver-canonicalizer contract: a top-level array/map output column
+    crashes the driver's pandas sort (unhashable 'list'), so compare() must
+    reject it before the tuple-izing local comparison can mask the class
+    (the round-3 embedding_quantize / multimodal_features failure mode)."""
+    df = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    with pytest.raises(AssertionError, match="array/map"):
+        compare(df, con, "SELECT 1 AS id, [1, 2] AS xs")
+
+
 @pytest.mark.parametrize("key", _ROWS_ONLY_KEYS)
 def test_rows_only_smoke(key, spark, sf_dir):
     df = _QUERIES[key].build(spark, sf_dir)

@@ -49,9 +49,13 @@ def test_oracle_sha_change_requeues_key(monkeypatch):
 
     from banking_etl_pipeline_spark import registry
 
-    key = next(iter(driver_verified_keys()))
     recorded = registry._recorded_oracle_shas()
-    assert recorded.get(key), "bootstrapped ORACLE_SHAS.json missing a green key"
+    # only keys that actually carry a recorded sha can demonstrate
+    # invalidation: in the between-round state, keys green in the newest
+    # CORRECTNESS file have no recorded sha until the index refresh runs
+    candidates = sorted(driver_verified_keys() & set(recorded))
+    assert candidates, "no driver-verified key has a recorded oracle sha"
+    key = candidates[0]
     assert key in driver_verified_keys()
     # simulate an oracle edit: recorded sha no longer matches current SQL
     tampered = dict(recorded)
