@@ -641,3 +641,79 @@ def test_rlike_alternation_cross_engine(spark, texts):
     want = dict(con.execute(
         f"SELECT i, regexp_matches(t, '{pat}') FROM t").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring span merge matches a pure-Python interval model
+# ---------------------------------------------------------------------------
+
+dup_positions = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=1, max_value=60)),
+    min_size=1, max_size=40, unique_by=lambda t: t,
+)
+
+
+def _model_spans(rows, w):
+    by_doc: dict[int, list[int]] = {}
+    for d, p in rows:
+        by_doc.setdefault(d, []).append(p)
+    out = {}
+    for d, ps in by_doc.items():
+        spans = []
+        for p in sorted(ps):
+            if spans and p - spans[-1][1] <= w:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        lens = [e - s + w for s, e in spans]
+        out[d] = (len(spans), sum(lens), max(lens))
+    return out
+
+
+@given(rows=dup_positions, w=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_merge_dup_spans_matches_model(spark, rows, w):
+    from banking_etl_pipeline_spark.operators.substrings import (
+        merge_dup_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, pos long")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["covered_tokens"], r["max_span_len"])
+        for r in merge_dup_spans(df, w).collect()
+    }
+    assert got == _model_spans(rows, w)
+
+
+# ---------------------------------------------------------------------------
+# PQ composite-key argmin matches a pure-Python (dist, code) min model
+# ---------------------------------------------------------------------------
+
+pq_candidates = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),   # vec_id
+              st.integers(min_value=0, max_value=2),   # m
+              st.integers(min_value=0, max_value=15),  # code
+              st.integers(min_value=0, max_value=10**9)),  # dist
+    min_size=1, max_size=60,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@given(rows=pq_candidates)
+@settings(**SETTINGS)
+def test_pq_argmin_code_matches_model(spark, rows):
+    from banking_etl_pipeline_spark.operators.pquant import argmin_code
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, m int, code int, dist long")
+    got = {
+        (r["vec_id"], r["m"]): (r["code"], r["dist"])
+        for r in argmin_code(df, 16).collect()
+    }
+    want: dict[tuple, tuple] = {}
+    for v, m, c, d in rows:
+        k = (v, m)
+        if k not in want or (d, c) < (want[k][1], want[k][0]):
+            want[k] = (c, d)
+    assert got == want
