@@ -275,10 +275,13 @@ FROM spans GROUP BY doc_id
 
 
 def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc max via a window function, not groupBy-max + join-back: the
+    # max, the filter, and the final aggregate all ride ONE doc_id
+    # exchange (the join-back shape costs three more)
     w = _windows(spark, sf_dir).join(_doc_freq(spark, sf_dir), "w")
-    per_doc = w.groupBy("doc_id").agg(F.max("doc_freq").alias("max_doc_freq"))
+    md = F.max("doc_freq").over(Window.partitionBy("doc_id"))
     at_max = (
-        w.join(per_doc, "doc_id")
+        w.withColumn("max_doc_freq", md)
         .filter(F.col("doc_freq") == F.col("max_doc_freq"))
         .groupBy("doc_id", "max_doc_freq")
         .agg(F.count(F.lit(1)).alias("windows_at_max"))

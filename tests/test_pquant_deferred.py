@@ -135,3 +135,19 @@ def test_pquant_repeat_deterministic(spark, sf_dir, pq):
                 tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
             ))
         assert sets[0] == sets[1], f"{key}: nondeterministic across builds"
+
+
+def test_pquant_plan_pins(spark, sf_dir, pq):
+    """Shape pins (qualitative — exchange counts vary with session-cache
+    state): the codebook side always broadcasts (a shuffled join against a
+    ≤1024-row table would be wrong at any scale) and nothing plans a
+    global range sort — the seed selection is a TakeOrdered heap."""
+    for key, min_bcast in {
+        "pq_encode": 1,
+        "pq_codebook_report": 1,
+        "pq_distortion_report": 1,
+        "pq_ann_probe": 2,
+    }.items():
+        p = plan_of(pq[key].build(spark, sf_dir), "simple")
+        assert p.count("BroadcastHashJoin") >= min_bcast, key
+        assert "Exchange rangepartitioning" not in p, key
