@@ -336,38 +336,12 @@ def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries. Output is 32 rows of metadata the writer broadcasts."""
     li = table(spark, sf_dir, "lineitem")
     n = li.count()
-    from pyspark.sql import Window as W
+    from ..functions.ranks import distributed_row_number
 
-    from ..session import default_parallelism
-
-    # phase 1: local rank within range partitions (ranges ascend with
-    # partition id, so prefix counts convert local rank → global rank)
-    parts = (
-        li.select("l_orderkey", "l_linenumber")
-        .repartitionByRange(
-            default_parallelism(), "l_orderkey", "l_linenumber"
-        )
-        .withColumn("pid", F.spark_partition_id())
-    )
-    local = parts.withColumn(
-        "lrn",
-        F.row_number().over(
-            W.partitionBy("pid").orderBy("l_orderkey", "l_linenumber")
-        ),
-    )
-    # phase 2: prefix offsets — one ≤P-row aggregate, broadcast back
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    offsets = counts.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("c").over(
-                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("pid", "off")
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
-        "rn", F.col("lrn") + F.col("off")
+    ranked = distributed_row_number(
+        li.select("l_orderkey", "l_linenumber"),
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        out="rn",
     )
     import math
 

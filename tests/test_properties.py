@@ -717,3 +717,63 @@ def test_pq_argmin_code_matches_model(spark, rows):
         if k not in want or (d, c) < (want[k][1], want[k][0]):
             want[k] = (c, d)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed rank / ntile match Spark's own single-partition windows
+# ---------------------------------------------------------------------------
+
+rank_rows = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=60, unique_by=lambda t: t[1],
+)
+
+
+@given(rows=rank_rows, b=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_distributed_rank_and_ntile_match_global_windows(spark, rows, b):
+    from pyspark.sql import Window as W
+
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_ntile,
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame(rows, "v int, k long").repartition(7)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = {
+        r.k: (r.rn, r.nt)
+        for r in distributed_ntile(
+            distributed_row_number(df, order, "rn", num_partitions=5),
+            order, b, "nt",
+        ).collect()
+    }
+    w = W.orderBy(*order)
+    want = {
+        r.k: (r.rn, r.nt)
+        for r in df.select(
+            "k", F.row_number().over(w).alias("rn"),
+            F.ntile(b).over(w).alias("nt"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_dual_path_identical(spark, sf_dir):
+    """The size-dispatched RFM quintiles: distributed exact ntile and the
+    single-task global window must produce identical rows on the same
+    input (the ewma_smoothing dual-path discipline)."""
+    from collections import Counter
+
+    from banking_etl_pipeline_spark.operators.analytics import rfm_features
+
+    from .oracle_compare import _norm
+
+    sets = []
+    for forced in (False, True):
+        rows = rfm_features(spark, sf_dir, force_distributed=forced).collect()
+        sets.append(Counter(
+            tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
+        ))
+    assert sets[0] == sets[1]
