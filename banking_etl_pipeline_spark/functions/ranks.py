@@ -58,6 +58,52 @@ def distributed_row_number(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + an `out` column holding the INCLUSIVE running sum of
+    `value_col` under the total order `order_cols` — the two-phase twin of
+    distributed_row_number: local running sums inside range partitions
+    plus each partition's broadcast prefix TOTAL. Exact for integer
+    values (the only kind this engine accumulates); a bare
+    `SUM() OVER (ORDER BY …)` would single-task the relation."""
+    from ..session import default_parallelism
+
+    p = num_partitions or default_parallelism()
+    parts = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_lps",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_t").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_lps") + F.col("_off"))
+        .drop("_pid", "_lps", "_off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_cols: list[Column],

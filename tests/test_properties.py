@@ -777,3 +777,28 @@ def test_rfm_dual_path_identical(spark, sf_dir):
             tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
         ))
     assert sets[0] == sets[1]
+
+
+@given(rows=rank_rows)
+@settings(**SETTINGS)
+def test_distributed_prefix_sum_matches_global_window(spark, rows):
+    from pyspark.sql import Window as W
+
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "v int, k long").repartition(7)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.ps
+        for r in distributed_prefix_sum(
+            df, order, "v", out="ps", num_partitions=5
+        ).collect()
+    }
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.k: r.ps
+        for r in df.select("k", F.sum("v").over(w).alias("ps")).collect()
+    }
+    assert got == want
