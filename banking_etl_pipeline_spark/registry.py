@@ -101,7 +101,7 @@ except ImportError:  # pragma: no cover
 # test keeps the two sets disjoint until then.
 _DEFERRED_MODULE_NAMES = (
     "reports", "tokenizer", "privacy", "bitext", "safety", "preference",
-    "curriculum", "weaklabel", "substrings", "pquant", "shards",
+    "curriculum", "weaklabel", "substrings", "pquant", "shards", "dataops",
 )
 
 

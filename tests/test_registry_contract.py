@@ -102,7 +102,7 @@ def test_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 43
+    assert len(seen) == 46
 
 
 def test_deferred_registration_actually_works(monkeypatch):
