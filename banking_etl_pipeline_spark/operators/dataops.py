@@ -119,74 +119,100 @@ joined AS (
 )"""
 
 
+def snapshot_join(a: DataFrame, b: DataFrame, key: str,
+                  cols: dict[str, str]) -> DataFrame:
+    """Generic snapshot comparison relation: full-outer join on `key`,
+    null-safe per-column equality flags (one `same_<name>` per entry of
+    cols: name → column), presence flags, and both sides' values of each
+    compared column (`<name>_a` / `<name>_b`). The reusable core of the
+    diff queries — property-tested against a pure-Python model."""
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col(f"a.{key}") == F.col(f"b.{key}"), "full")
+    sel = [
+        F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias("k"),
+        F.col(f"a.{key}").isNotNull().alias("in_v1"),
+        F.col(f"b.{key}").isNotNull().alias("in_v2"),
+    ]
+    for name, col in cols.items():
+        sel.append(
+            F.col(f"a.{col}").eqNullSafe(F.col(f"b.{col}"))
+            .alias(f"same_{name}")
+        )
+        sel.append(F.col(f"a.{col}").alias(f"{name}_a"))
+        sel.append(F.col(f"b.{col}").alias(f"{name}_b"))
+    return j.select(*sel)
+
+
+def snapshot_diff_counts(a: DataFrame, b: DataFrame, key: str,
+                         cols: dict[str, str]) -> DataFrame:
+    """One-row diff summary over snapshot_join: added / removed /
+    changed / unchanged plus a per-column change count. ONE
+    co-partitioned full-outer join + ONE bounded aggregate."""
+    j = snapshot_join(a, b, key, cols)
+    both = F.col("in_v1") & F.col("in_v2")
+    all_same = F.lit(True)
+    for name in cols:
+        all_same = all_same & F.col(f"same_{name}")
+    changed = both & ~all_same
+    def n(cond, alias):
+        # coalesce: SUM over an empty relation is NULL in both engines;
+        # a diff of two empty snapshots should read 0 (hypothesis-found)
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(alias)
+
+    agg = [
+        n(F.col("in_v2") & ~F.col("in_v1"), "added"),
+        n(F.col("in_v1") & ~F.col("in_v2"), "removed"),
+        n(changed, "changed"),
+        n(both & ~changed, "unchanged"),
+    ]
+    for name in cols:
+        agg.append(n(both & ~F.col(f"same_{name}"), f"chg_{name}"))
+    return j.agg(*agg)
+
+
+_DIFF_COL_MAP = {
+    "custkey": "o_custkey", "status": "o_orderstatus",
+    "price": "price_c", "priority": "o_orderpriority",
+}
+
+
 def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = _v1(spark, sf_dir).alias("a")
-    b = _v2(spark, sf_dir).alias("b")
-    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
-    return j.select(
-        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
-        F.col("a.o_orderkey").isNotNull().alias("in_v1"),
-        F.col("b.o_orderkey").isNotNull().alias("in_v2"),
-        F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
-        .alias("same_custkey"),
-        F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
-        .alias("same_status"),
-        F.col("a.price_c").eqNullSafe(F.col("b.price_c"))
-        .alias("same_price"),
-        F.col("a.o_orderpriority").eqNullSafe(F.col("b.o_orderpriority"))
-        .alias("same_priority"),
-        F.col("a.price_c").alias("p1"),
-        F.col("b.price_c").alias("p2"),
+    j = snapshot_join(_v1(spark, sf_dir), _v2(spark, sf_dir),
+                      "o_orderkey", _DIFF_COL_MAP)
+    return j.withColumnRenamed("price_a", "p1").withColumnRenamed(
+        "price_b", "p2"
     )
 
 
 def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    j = _joined(spark, sf_dir)
-    both = F.col("in_v1") & F.col("in_v2")
-    changed = both & ~(
-        F.col("same_custkey") & F.col("same_status")
-        & F.col("same_price") & F.col("same_priority")
+    return snapshot_diff_counts(
+        _v1(spark, sf_dir), _v2(spark, sf_dir), "o_orderkey", _DIFF_COL_MAP
     )
-    agg = [
-        F.sum(F.when(F.col("in_v2") & ~F.col("in_v1"), 1).otherwise(0))
-        .cast("long").alias("added"),
-        F.sum(F.when(F.col("in_v1") & ~F.col("in_v2"), 1).otherwise(0))
-        .cast("long").alias("removed"),
-        F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("changed"),
-        F.sum(F.when(both & ~changed, 1).otherwise(0)).cast("long")
-        .alias("unchanged"),
-    ]
-    for name, col in (("custkey", "same_custkey"), ("status", "same_status"),
-                      ("price", "same_price"),
-                      ("priority", "same_priority")):
-        agg.append(
-            F.sum(F.when(both & ~F.col(col), 1).otherwise(0)).cast("long")
-            .alias(f"chg_{name}")
-        )
-    return j.agg(*agg)
 
 
 DATASET_DIFF_SQL = f"""
 WITH {_SQL_SNAPSHOT_CTES}
 SELECT
-  CAST(SUM(CASE WHEN in_v2 AND NOT in_v1 THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(COALESCE(SUM(CASE WHEN in_v2 AND NOT in_v1 THEN 1 ELSE 0 END), 0) AS BIGINT)
       AS added,
-  CAST(SUM(CASE WHEN in_v1 AND NOT in_v2 THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND NOT in_v2 THEN 1 ELSE 0 END), 0) AS BIGINT)
       AS removed,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND NOT (same_custkey AND same_status
-           AND same_price AND same_priority) THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND NOT (same_custkey AND same_status
+           AND same_price AND same_priority) THEN 1 ELSE 0 END), 0) AS BIGINT)
       AS changed,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND same_custkey AND same_status
-           AND same_price AND same_priority THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND same_custkey AND same_status
+           AND same_price AND same_priority THEN 1 ELSE 0 END), 0) AS BIGINT)
       AS unchanged,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_custkey
-           THEN 1 ELSE 0 END) AS BIGINT) AS chg_custkey,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_status
-           THEN 1 ELSE 0 END) AS BIGINT) AS chg_status,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_price
-           THEN 1 ELSE 0 END) AS BIGINT) AS chg_price,
-  CAST(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_priority
-           THEN 1 ELSE 0 END) AS BIGINT) AS chg_priority
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_custkey
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg_custkey,
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_status
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg_status,
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_price
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg_price,
+  CAST(COALESCE(SUM(CASE WHEN in_v1 AND in_v2 AND NOT same_priority
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS chg_priority
 FROM joined
 """
 

@@ -802,3 +802,41 @@ def test_distributed_prefix_sum_matches_global_window(spark, rows):
         for r in df.select("k", F.sum("v").over(w).alias("ps")).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# generic snapshot diff matches a pure-Python dict-diff model
+# ---------------------------------------------------------------------------
+
+snap_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),        # key
+              st.one_of(st.none(), st.integers(0, 3)),       # x
+              st.one_of(st.none(), st.sampled_from("ab"))),  # y
+    min_size=0, max_size=20, unique_by=lambda t: t[0],
+)
+
+
+@given(a=snap_rows, b=snap_rows)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_model(spark, a, b):
+    from banking_etl_pipeline_spark.operators.dataops import (
+        snapshot_diff_counts,
+    )
+
+    schema = "k long, x int, y string"
+    da = spark.createDataFrame(a, schema)
+    db = spark.createDataFrame(b, schema)
+    got = snapshot_diff_counts(da, db, "k", {"x": "x", "y": "y"}) \
+        .collect()[0].asDict()
+    ma = {r[0]: (r[1], r[2]) for r in a}
+    mb = {r[0]: (r[1], r[2]) for r in b}
+    both = set(ma) & set(mb)
+    want = {
+        "added": len(set(mb) - set(ma)),
+        "removed": len(set(ma) - set(mb)),
+        "changed": sum(1 for k in both if ma[k] != mb[k]),
+        "unchanged": sum(1 for k in both if ma[k] == mb[k]),
+        "chg_x": sum(1 for k in both if ma[k][0] != mb[k][0]),
+        "chg_y": sum(1 for k in both if ma[k][1] != mb[k][1]),
+    }
+    assert got == want
