@@ -53,7 +53,9 @@ def distributed_row_number(
     ).select("_pid", "_off")
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
+        # long, not int: ranks pass 2^31 long before 100 TB does (DuckDB
+        # ROW_NUMBER is BIGINT too)
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
 
@@ -70,22 +72,39 @@ def distributed_prefix_sum(
     distributed_row_number: local running sums inside range partitions
     plus each partition's broadcast prefix TOTAL. Exact for integer
     values (the only kind this engine accumulates); a bare
-    `SUM() OVER (ORDER BY …)` would single-task the relation."""
+    `SUM() OVER (ORDER BY …)` would single-task the relation.
+
+    NULL handling: NULL values count as 0 everywhere (both phases are
+    coalesced so a NULL-heavy range partition cannot poison later
+    partitions' offsets). This differs from SQL's window SUM only for
+    rows before the first non-null value, where SQL yields NULL — pre-map
+    with F.when if that edge matters; current callers pass non-null
+    token counts."""
     from ..session import default_parallelism
 
     p = num_partitions or default_parallelism()
     parts = df.repartitionByRange(p, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # coalesce both phases to 0 so NULL values behave like SUM() OVER on a
+    # global window: a partition of all-NULL prefix must not poison later
+    # partitions' offsets, and a leading NULL row's local sum is NULL only
+    # until the first non-null — the global window would carry the prior
+    # partitions' prefix regardless
     local = parts.withColumn(
         "_lps",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("_pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0),
         ),
     )
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    totals = local.groupBy("_pid").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("_t")
+    )
     offsets = totals.withColumn(
         "_off",
         F.coalesce(

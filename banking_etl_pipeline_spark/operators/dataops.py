@@ -9,7 +9,7 @@ columns), how the column distributions drifted, and which changed keys
 moved the most. The v2 snapshot is derived deterministically from v1 with
 md5-gated mutations (the injected-known-signal discipline of dedup_exact
 and the substrings tier): ~1/32 of keys dropped, a disjoint ~1/32
-repriced (+1.00) and status-flipped, plus a shifted-key block of new
+repriced (+1.00) and status-flipped, plus a negated-key block of new
 rows — so every detector has exact expected positives at any sf.
 
 - dataset_diff: one full-outer join on the PK → per-class row counts
@@ -40,7 +40,9 @@ from ..spec import QuerySpec
 
 DIFF_SEED = 131
 DIFF_MOD = 32          # 1/32 of keys dropped; a disjoint 1/32 mutated
-NEW_KEY_SHIFT = 1_000_000  # added rows live at o_orderkey + shift
+# added rows live at -o_orderkey - 1: sf-proof (real keys are positive at
+# every sf, so the negated block can never collide, unlike a fixed +shift
+# which dense keys overtake around sf0.7)
 NEW_MOD = 64           # 1/64 of keys also spawn a brand-new row
 PRICE_BUMP = 1.0       # mutation: +1.00 on o_totalprice
 TOP_CHANGED = 20
@@ -60,7 +62,7 @@ def _v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v1 with md5-gated deterministic mutations: bucket 0 of DIFF_MOD
     dropped, bucket 1 repriced (+PRICE_BUMP) and status-flipped, and
-    NEW_MOD-bucket-0 keys cloned to o_orderkey + NEW_KEY_SHIFT."""
+    NEW_MOD-bucket-0 keys cloned to -o_orderkey - 1."""
     v1 = _v1(spark, sf_dir)
     gate = md5_long_seeded(DIFF_SEED, F.col("o_orderkey").cast("string"))
     kept = v1.filter(gate % DIFF_MOD != 0)
@@ -74,7 +76,7 @@ def _v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     added = v1.filter(gate % NEW_MOD == 0).select(
-        (F.col("o_orderkey") + NEW_KEY_SHIFT).alias("o_orderkey"),
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         "o_custkey", "o_orderstatus", "price_c", "o_orderpriority",
     )
     return mutated.unionByName(added)
@@ -100,7 +102,7 @@ v2 AS (
          o_orderpriority
   FROM v1 WHERE {_SQL_GATE} % {DIFF_MOD} != 0
   UNION ALL
-  SELECT o_orderkey + {NEW_KEY_SHIFT}, o_custkey, o_orderstatus,
+  SELECT -o_orderkey - 1, o_custkey, o_orderstatus,
          price_c, o_orderpriority
   FROM v1 WHERE {_SQL_GATE} % {NEW_MOD} = 0
 ),

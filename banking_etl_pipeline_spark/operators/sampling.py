@@ -258,10 +258,10 @@ cum AS (
   FROM base
 )
 SELECT lang, doc_id, n_tokens,
-       cum_tokens - n_tokens AS stream_offset,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS stream_offset,
        CAST((cum_tokens - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
        CAST((cum_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_seq,
-       (cum_tokens - n_tokens) % {SEQ_LEN} AS offset_in_seq
+       CAST((cum_tokens - n_tokens) % {SEQ_LEN} AS BIGINT) AS offset_in_seq
 FROM cum WHERE n_tokens > 0
 """
 

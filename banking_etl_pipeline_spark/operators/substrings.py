@@ -66,8 +66,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = md5_long_seeded(INJECT_SEED, F.col("doc_id").cast("string"))
     return d.select(
         "doc_id",
+        # F.concat (not concat_ws): propagates a NULL text like the
+        # oracle's `text || ' ' || BOILER` does — concat_ws would silently
+        # drop the NULL and emit just the boilerplate sentence
         F.when(gate % INJECT_MOD == 0,
-               F.concat_ws(" ", F.col("text"), F.lit(BOILER)))
+               F.concat(F.col("text"), F.lit(" "), F.lit(BOILER)))
         .otherwise(F.col("text")).alias("text2"),
     )
 

@@ -431,7 +431,8 @@ decades AS (
   GROUP BY 1
 )
 SELECT decade, n_tokens, mass,
-       (10000 * mass) // (SELECT SUM(mass) FROM decades) AS share_bp
+       CAST((10000 * mass) // (SELECT SUM(mass) FROM decades) AS BIGINT)
+           AS share_bp
 FROM decades
 ORDER BY decade
 """

@@ -238,11 +238,24 @@ def main() -> None:
         timings[key] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    # The driver keeps only the TAIL of stdout; r1's single long line (121-
-    # entry dict before "sf") was truncated mid-dict → "parsed": null. Emit
-    # the full per-query dict on its own earlier line, then a SHORT headline
-    # line LAST so it always survives truncation.
-    print(json.dumps({"metric": "per_query_sec", "queries": timings, "sf": sf}))
+    # The driver keeps only the TAIL of stdout; r1's single long line was
+    # truncated mid-dict → "parsed": null, and r4's one-big-dict line lost
+    # the 113 most expensive queries to the same truncation. Emit the
+    # per-query timings as several SHORT lines sorted ascending by time —
+    # the slowest queries print LAST so whatever tail window the driver
+    # keeps always contains the informative (expensive) head — then the
+    # short headline line at the very end.
+    ordered = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    chunk = 20
+    parts = [ordered[i:i + chunk] for i in range(0, len(ordered), chunk)]
+    for i, part in enumerate(parts):
+        print(json.dumps({
+            "metric": "per_query_sec",
+            "part": i + 1,
+            "of": len(parts),
+            "queries": dict(part),
+            "sf": sf,
+        }))
     sys.stdout.flush()
     print(
         json.dumps(

@@ -14,7 +14,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from banking_etl_pipeline_spark.session import get_spark  # noqa: E402
-from tests.oracle_compare import _norm, duck_connection  # noqa: E402
+from tests.oracle_compare import (  # noqa: E402
+    _norm,
+    duck_connection,
+    oracle_type_offenders,
+)
 
 
 def main() -> int:
@@ -63,6 +67,14 @@ def main() -> int:
         ]
         if key not in osql:
             print(f"{key}: rows-only ({len(srows)} rows)")
+            continue
+        # driver-fidelity guard 2: the driver pandas-converts the oracle
+        # result, where HUGEINT/DECIMAL(38) become float64/object vs Spark
+        # bigint — fetchall() compares exact ints so only DESCRIBE sees it
+        bad_types = oracle_type_offenders(con, osql[key])
+        if bad_types:
+            print(f"{key}: ERR oracle HUGEINT/DECIMAL38 columns {bad_types}")
+            bad.append(key)
             continue
         cur = con.execute(osql[key])
         names = [d[0] for d in cur.description]

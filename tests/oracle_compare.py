@@ -56,6 +56,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def oracle_type_offenders(con: duckdb.DuckDBPyConnection, sql: str) -> list:
+    """Driver-canonicalizer contract, part 2: the driver converts the
+    oracle's result to pandas, where DuckDB HUGEINT/UHUGEINT (the default
+    SUM(int) output) and DECIMAL(38,*) become float64/object while Spark
+    emits bigint — a value-hash mismatch invisible to fetchall()-based
+    local compares (r4 lesson: priority_line_counts, pack_sequences).
+    Returns [(column, type)] for any top-level offender; oracles must CAST
+    such columns to BIGINT/DOUBLE explicitly."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for name, typ, *_ in rows:
+        t = typ.upper()
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL(38"):
+            bad.append((name, typ))
+    return bad
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     # Driver-canonicalizer contract: the driver pandas-sorts result columns,
     # which crashes on unhashable cells (TypeError: unhashable type: 'list').
@@ -70,6 +87,12 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     assert not bad, (
         f"top-level array/map output columns {bad} would crash the driver's "
         "canonicalizer — serialize them to deterministic strings"
+    )
+    bad_types = oracle_type_offenders(con, sql)
+    assert not bad_types, (
+        f"oracle emits HUGEINT/DECIMAL(38) columns {bad_types} — pandas "
+        "canonicalizes them as float64/object vs Spark bigint; add explicit "
+        "CAST(... AS BIGINT) in the oracle SQL"
     )
     spark_rows = [r.asDict(recursive=True) for r in spark_df.collect()]
     cur = con.execute(sql)

@@ -78,6 +78,30 @@ def test_every_query_has_an_oracle():
     assert missing == []
 
 
+def test_no_oracle_emits_hugeint():
+    """r4 driver lesson (priority_line_counts, pack_sequences): DuckDB
+    SUM(int)→HUGEINT and DECIMAL(38,*) pandas-convert to float64/object
+    while Spark emits bigint — invisible to fetchall() compares, fails the
+    driver's value hash. DESCRIBE every oracle (registered + deferred) and
+    reject those types at the top level; <1 s for the whole surface."""
+    from banking_etl_pipeline_spark.registry import deferred_queries
+    from tests.oracle_compare import duck_connection, oracle_type_offenders
+
+    con = duck_connection("/root/testdata/sf0.001")
+    offenders = {}
+    specs = {**all_queries(), **deferred_queries()}
+    for key, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        bad = oracle_type_offenders(con, spec.oracle)
+        if bad:
+            offenders[key] = bad
+    assert offenders == {}, (
+        f"oracles emitting HUGEINT/DECIMAL(38) columns: {offenders} — "
+        "add CAST(... AS BIGINT) in the oracle SQL"
+    )
+
+
 def test_deferred_tiers_ready_for_registration():
     """r05 rehearsal contract: the registration-deferred tiers must drop
     into the registry without collisions, each spec complete (builder +
