@@ -93,16 +93,26 @@ try:  # round-2+ curation tier: registered last so its (new, never-verified)
 except ImportError:  # pragma: no cover
     pass
 
+# Round-5 registration: the eight tiers built (and rehearsed through the
+# exact driver comparison — DRIVER_SIM_r04_deferred.log, 231/231 ok) under
+# the r2-r4 registry freeze. They queue behind the pre-existing backlog in
+# the unverified-first rotation.
+for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
+              "preference", "curriculum", "weaklabel"):
+    try:
+        import importlib as _importlib
+
+        _MODULES.append(
+            _importlib.import_module(f".operators.{_name}", __package__))
+    except ImportError:  # pragma: no cover
+        pass
+
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
-# _MODULES until the driver-verification backlog drains (round-2 verdict
-# freeze). To register a tier in r05+, move its name from this tuple into
-# the _MODULES imports above — one place to edit, and the registry-contract
-# test keeps the two sets disjoint until then.
-_DEFERRED_MODULE_NAMES = (
-    "reports", "tokenizer", "privacy", "bitext", "safety", "preference",
-    "curriculum", "weaklabel",
-)
+# _MODULES until their driver-verification backlog slot opens. Empty since
+# the round-5 registration; future tiers land here first, with full local
+# suites, then move into _MODULES once the backlog drains.
+_DEFERRED_MODULE_NAMES: tuple[str, ...] = ()
 
 
 def deferred_modules() -> list:
