@@ -109,10 +109,11 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
-# _MODULES until their driver-verification backlog slot opens. Empty since
-# the round-5 registration; future tiers land here first, with full local
-# suites, then move into _MODULES once the backlog drains.
-_DEFERRED_MODULE_NAMES: tuple[str, ...] = ()
+# _MODULES until their driver-verification backlog slot opens. The first
+# eight tiers registered in round 5 (loop above); substrings/pquant were
+# built in round 4 and queue for the next open window — to register, move
+# a name into the loop above.
+_DEFERRED_MODULE_NAMES = ("substrings", "pquant")
 
 
 def deferred_modules() -> list:
