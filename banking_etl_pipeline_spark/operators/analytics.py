@@ -1444,9 +1444,14 @@ WINDOW w AS (ORDER BY mn)
 
 
 RFM_AS_OF = "2024-02-01"  # fixed analysis date (events end 2024-01-30)
+# above this user count the quintile windows switch to the distributed
+# exact ntile (functions/ranks.py); below it a single-task window over the
+# per-user rollup is cheaper than three extra shuffle rounds
+RFM_DISTRIBUTED_MIN = 1_000_000
 
 
-def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_features(spark: SparkSession, sf_dir: str,
+                 force_distributed: bool | None = None) -> DataFrame:
     """RFM scoring — the feature-engineering staple of customer analytics
     (recency/frequency/monetary quintiles feeding churn models and
     campaign segmentation). One pass over events builds the three
@@ -1455,10 +1460,15 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows assign quintile scores — each ordered with the user_id
     tie-break, because ntile's bucket boundaries are only deterministic
     under a TOTAL order (the canonical nondeterminism bug in every
-    hand-rolled RFM job). Segment = concatenated digits. The windows are
-    global but run over the PER-USER rollup (|users| rows), never raw
-    events; at 100 TB that is still a driver-sized relation, or swap
-    ntile for fixed quantile boundaries from `quantile_sketch`."""
+    hand-rolled RFM job). Segment = concatenated digits. The quintiles
+    run over the PER-USER rollup, size-dispatched (the ewma_smoothing
+    discipline, dual-path-tested): below RFM_DISTRIBUTED_MIN users a
+    single-task global window is cheapest; above it — 10⁸-10⁹ users at
+    100 TB, where one task would choke — each score comes from the
+    DISTRIBUTED exact ntile (functions/ranks.py: two-phase rank +
+    integer bucket formula, bit-identical to SQL NTILE, property-tested
+    against Spark's own ntile), computed independently off one persisted
+    rollup and equi-joined back on user_id."""
     e = table(spark, sf_dir, "events")
     per_user = (
         e.filter(F.col("event_type") == "purchase")
@@ -1471,18 +1481,41 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("value"))).alias("monetary_c"),
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("monetary_c").asc(), F.col("user_id"))
-    scored = per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_c",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+    orders = (
+        ("r_score", [F.col("recency_days").desc(), F.col("user_id")]),
+        ("f_score", [F.col("frequency").asc(), F.col("user_id")]),
+        ("m_score", [F.col("monetary_c").asc(), F.col("user_id")]),
     )
+    from ..session import session_persist, session_scalar
+
+    distributed = force_distributed
+    if distributed is None:
+        n_users = session_scalar(
+            spark, f"rfm_n_users:{sf_dir}",
+            lambda: per_user.count(),
+        )
+        distributed = n_users >= RFM_DISTRIBUTED_MIN
+    if distributed:
+        from ..functions.ranks import distributed_ntile
+
+        base = session_persist(
+            spark, f"rfm_per_user:{sf_dir}", lambda: per_user
+        )
+        scored = base
+        for out, order in orders:
+            scored = scored.join(
+                distributed_ntile(base, order, 5, out)
+                .select("user_id", out),
+                "user_id",
+            )
+    else:
+        scored = per_user.select(
+            "user_id", "recency_days", "frequency", "monetary_c",
+            *[
+                F.ntile(5).over(Window.orderBy(*order)).alias(out)
+                for out, order in orders
+            ],
+        )
     return scored.withColumn(
         "segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),

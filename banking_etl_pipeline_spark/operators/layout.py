@@ -323,21 +323,25 @@ def range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation floats), plus the rows-per-bucket each boundary implies.
     Equi-depth is what keeps range-partitioned files the SAME SIZE under
     skew, where equi-width (`zorder_layout`'s uniform buckets) would put
-    90% of rows in one file. The exact form needs a total order (one
-    global row_number sort — fine for a layout job over one table); at
-    100 TB run it over a deterministic hash SAMPLE (`sample_hash`) of
-    ~10⁶ rows, which is exactly how `repartitionByRange` itself derives
+    90% of rows in one file. The global rank is computed DISTRIBUTED —
+    two-phase: range-partition on the sort key, rank locally inside each
+    partition, then add each partition's prefix offset (a ≤P-row cumsum
+    broadcast back). A bare `row_number() OVER (ORDER BY …)` would drag
+    the whole table through ONE task — serial at sf0.1 already, dead at
+    100 TB; the two-phase form is exact and every stage is parallel (the
+    rank of a row does not depend on how the ranges were cut, so the
+    sampled range boundaries don't need to be deterministic). At 100 TB
+    you'd additionally rank a deterministic hash SAMPLE (`sample_hash`)
+    of ~10⁶ rows, which is how `repartitionByRange` itself derives
     boundaries. Output is 32 rows of metadata the writer broadcasts."""
     li = table(spark, sf_dir, "lineitem")
-    fracs = [i / RANGE_SPLITS for i in range(1, RANGE_SPLITS + 1)]
     n = li.count()
-    # discrete percentile: value at ceil(q·n) in sort order, via one
-    # percentile_approx-free exact path — row_number over the sort key
-    from pyspark.sql import Window as W
+    from ..functions.ranks import distributed_row_number
 
-    w = W.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
-    ranked = li.select("l_orderkey", "l_linenumber").withColumn(
-        "rn", F.row_number().over(w)
+    ranked = distributed_row_number(
+        li.select("l_orderkey", "l_linenumber"),
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        out="rn",
     )
     import math
 

@@ -122,16 +122,27 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("dist")
             )
         )
-        best = scored.groupBy("vec_id", "m").agg(
-            F.min(F.col("dist") * PQ_K + F.col("code")).alias("key")
-        )
-        return best.select(
-            "vec_id", "m",
-            (F.col("key") % PQ_K).cast("int").alias("code"),
-            F.expr(f"key div {PQ_K}").alias("dist"),
-        )
+        return argmin_code(scored, PQ_K)
 
     return session_persist(spark, f"pq_assign:{sf_dir}", build)
+
+
+def argmin_code(scored: DataFrame, k: int = PQ_K) -> DataFrame:
+    """(vec_id, m, code, dist) candidates → the per-(vec_id, m) argmin.
+
+    One plain MIN over the composite key dist·k + code: deterministic on
+    distance ties (lowest code wins) with no arg_min ambiguity and no
+    groupBy-min + join-back second pass. Requires 0 ≤ code < k and
+    dist·k + k ≤ 2⁶³. Property-tested against a pure-Python model
+    (tests/test_properties.py)."""
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.col("dist") * k + F.col("code")).alias("key")
+    )
+    return best.select(
+        "vec_id", "m",
+        (F.col("key") % k).cast("int").alias("code"),
+        F.expr(f"key div {k}").alias("dist"),
+    )
 
 
 # shared oracle CTEs: quantized components → seeded codebook → scored →

@@ -199,8 +199,13 @@ LIMIT 20
 """
 
 
-def substring_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dup = _dup_positions(spark, sf_dir)
+def merge_dup_spans(dup: DataFrame, w: int = SUB_W) -> DataFrame:
+    """(doc_id, pos) duplicated-window starts → per-doc maximal-span stats.
+
+    Gaps-and-islands: a window starting ≤ w positions after the previous
+    duplicated window overlaps-or-abuts its span and extends it; a larger
+    gap opens a new span. Property-tested against a pure-Python interval
+    model (tests/test_properties.py)."""
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
     run = (
         dup.withColumn("prev", F.lag("pos").over(by_pos))
@@ -208,7 +213,7 @@ def substring_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_span",
             F.when(
                 F.col("prev").isNull()
-                | (F.col("pos") - F.col("prev") > SUB_W), 1
+                | (F.col("pos") - F.col("prev") > w), 1
             ).otherwise(0),
         )
         .withColumn(
@@ -224,10 +229,16 @@ def substring_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + SUB_W).cast("long")
+        F.sum(F.col("e") - F.col("s") + w).cast("long")
         .alias("covered_tokens"),
-        F.max(F.col("e") - F.col("s") + SUB_W).cast("long")
+        F.max(F.col("e") - F.col("s") + w).cast("long")
         .alias("max_span_len"),
+    )
+
+
+def substring_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_dup_spans(
+        _dup_positions(spark, sf_dir).select("doc_id", "pos"), SUB_W
     )
 
 
@@ -264,10 +275,13 @@ FROM spans GROUP BY doc_id
 
 
 def memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc max via a window function, not groupBy-max + join-back: the
+    # max, the filter, and the final aggregate all ride ONE doc_id
+    # exchange (the join-back shape costs three more)
     w = _windows(spark, sf_dir).join(_doc_freq(spark, sf_dir), "w")
-    per_doc = w.groupBy("doc_id").agg(F.max("doc_freq").alias("max_doc_freq"))
+    md = F.max("doc_freq").over(Window.partitionBy("doc_id"))
     at_max = (
-        w.join(per_doc, "doc_id")
+        w.withColumn("max_doc_freq", md)
         .filter(F.col("doc_freq") == F.col("max_doc_freq"))
         .groupBy("doc_id", "max_doc_freq")
         .agg(F.count(F.lit(1)).alias("windows_at_max"))

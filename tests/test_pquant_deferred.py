@@ -135,3 +135,34 @@ def test_pquant_repeat_deterministic(spark, sf_dir, pq):
                 tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
             ))
         assert sets[0] == sets[1], f"{key}: nondeterministic across builds"
+
+
+def test_pquant_plan_pins(spark, sf_dir, pq):
+    """Shape pins (qualitative — exchange counts vary with session-cache
+    state): the codebook side always broadcasts (a shuffled join against a
+    ≤1024-row table would be wrong at any scale) and nothing plans a
+    global range sort — the seed selection is a TakeOrdered heap."""
+    for key, min_bcast in {
+        "pq_encode": 1,
+        "pq_codebook_report": 1,
+        "pq_distortion_report": 1,
+        "pq_ann_probe": 2,
+    }.items():
+        p = plan_of(pq[key].build(spark, sf_dir), "simple")
+        assert p.count("BroadcastHashJoin") >= min_bcast, key
+        assert "Exchange rangepartitioning" not in p, key
+
+
+def test_adc_self_distance_equals_encode_distortion(spark, sf_dir, pq):
+    """Exactness bridge between the two query families: a probe's ADC
+    distance to its own stored vector is Σ_m lut[m, code_m] where code_m
+    is the per-subspace argmin of that same lut — i.e. exactly the
+    vector's total quantization distortion from pq_encode. Any drift in
+    the LUT build, the assignment, or the packing breaks this identity."""
+    enc = {r["vec_id"]: r["total_dist"]
+           for r in pq["pq_encode"].build(spark, sf_dir).collect()}
+    probe_rows = pq["pq_ann_probe"].build(spark, sf_dir).collect()
+    self_rows = [r for r in probe_rows if r["vec_id"] == r["query_id"]]
+    assert len(self_rows) == N_PROBES
+    for r in self_rows:
+        assert r["adc_dist"] == enc[r["query_id"]], r["query_id"]

@@ -637,3 +637,164 @@ def test_rlike_alternation_cross_engine(spark, texts):
     want = dict(con.execute(
         f"SELECT i, regexp_matches(t, '{pat}') FROM t").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring span merge matches a pure-Python interval model
+# ---------------------------------------------------------------------------
+
+dup_positions = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=1, max_value=60)),
+    min_size=1, max_size=40, unique_by=lambda t: t,
+)
+
+
+def _model_spans(rows, w):
+    by_doc: dict[int, list[int]] = {}
+    for d, p in rows:
+        by_doc.setdefault(d, []).append(p)
+    out = {}
+    for d, ps in by_doc.items():
+        spans = []
+        for p in sorted(ps):
+            if spans and p - spans[-1][1] <= w:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        lens = [e - s + w for s, e in spans]
+        out[d] = (len(spans), sum(lens), max(lens))
+    return out
+
+
+@given(rows=dup_positions, w=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_merge_dup_spans_matches_model(spark, rows, w):
+    from banking_etl_pipeline_spark.operators.substrings import (
+        merge_dup_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, pos long")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["covered_tokens"], r["max_span_len"])
+        for r in merge_dup_spans(df, w).collect()
+    }
+    assert got == _model_spans(rows, w)
+
+
+# ---------------------------------------------------------------------------
+# PQ composite-key argmin matches a pure-Python (dist, code) min model
+# ---------------------------------------------------------------------------
+
+pq_candidates = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),   # vec_id
+              st.integers(min_value=0, max_value=2),   # m
+              st.integers(min_value=0, max_value=15),  # code
+              st.integers(min_value=0, max_value=10**9)),  # dist
+    min_size=1, max_size=60,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@given(rows=pq_candidates)
+@settings(**SETTINGS)
+def test_pq_argmin_code_matches_model(spark, rows):
+    from banking_etl_pipeline_spark.operators.pquant import argmin_code
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, m int, code int, dist long")
+    got = {
+        (r["vec_id"], r["m"]): (r["code"], r["dist"])
+        for r in argmin_code(df, 16).collect()
+    }
+    want: dict[tuple, tuple] = {}
+    for v, m, c, d in rows:
+        k = (v, m)
+        if k not in want or (d, c) < (want[k][1], want[k][0]):
+            want[k] = (c, d)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed rank / ntile match Spark's own single-partition windows
+# ---------------------------------------------------------------------------
+
+rank_rows = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=60, unique_by=lambda t: t[1],
+)
+
+
+@given(rows=rank_rows, b=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_distributed_rank_and_ntile_match_global_windows(spark, rows, b):
+    from pyspark.sql import Window as W
+
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_ntile,
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame(rows, "v int, k long").repartition(7)
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = {
+        r.k: (r.rn, r.nt)
+        for r in distributed_ntile(
+            distributed_row_number(df, order, "rn", num_partitions=5),
+            order, b, "nt",
+        ).collect()
+    }
+    w = W.orderBy(*order)
+    want = {
+        r.k: (r.rn, r.nt)
+        for r in df.select(
+            "k", F.row_number().over(w).alias("rn"),
+            F.ntile(b).over(w).alias("nt"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_dual_path_identical(spark, sf_dir):
+    """The size-dispatched RFM quintiles: distributed exact ntile and the
+    single-task global window must produce identical rows on the same
+    input (the ewma_smoothing dual-path discipline)."""
+    from collections import Counter
+
+    from banking_etl_pipeline_spark.operators.analytics import rfm_features
+
+    from .oracle_compare import _norm
+
+    sets = []
+    for forced in (False, True):
+        rows = rfm_features(spark, sf_dir, force_distributed=forced).collect()
+        sets.append(Counter(
+            tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
+        ))
+    assert sets[0] == sets[1]
+
+
+@given(rows=rank_rows)
+@settings(**SETTINGS)
+def test_distributed_prefix_sum_matches_global_window(spark, rows):
+    from pyspark.sql import Window as W
+
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "v int, k long").repartition(7)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.ps
+        for r in distributed_prefix_sum(
+            df, order, "v", out="ps", num_partitions=5
+        ).collect()
+    }
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.k: r.ps
+        for r in df.select("k", F.sum("v").over(w).alias("ps")).collect()
+    }
+    assert got == want

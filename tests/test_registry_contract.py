@@ -93,6 +93,7 @@ def test_r5_registration_landed():
         "substring_span_merge", "memorization_risk",
         "pq_encode", "pq_codebook_report", "pq_distortion_report",
         "pq_ann_probe",
+        "shard_assignment", "shard_manifest", "shard_balance_report",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -112,7 +113,7 @@ def test_r5_registration_landed():
 
 
 def test_remaining_deferred_tiers_ready_for_registration():
-    """The still-deferred tiers (substrings/pquant) must drop into the
+    """The still-deferred tiers (substrings/pquant/shards) must drop into the
     registry without collisions, each spec complete — enabling them is a
     one-name move in registry._MODULES."""
     from banking_etl_pipeline_spark.registry import deferred_modules
@@ -132,7 +133,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 8
+    assert len(seen) == 11
 
 
 def test_deferred_registration_actually_works(monkeypatch):

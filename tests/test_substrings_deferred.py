@@ -129,3 +129,18 @@ def test_substrings_repeat_deterministic(spark, sf_dir, sub):
                 tuple(_norm(r[c]) for c in sorted(r.asDict())) for r in rows
             ))
         assert sets[0] == sets[1], f"{key}: nondeterministic across builds"
+
+
+def test_substrings_plan_pins(spark, sf_dir, sub):
+    """Shape pins (qualitative — exchange counts vary with session-cache
+    state): the hot-span report is a bounded heap (TakeOrdered, never a
+    global sort of the window vocabulary), and no per-doc query plans a
+    global range sort; span merging sorts only inside doc_id partitions."""
+    p = plan_of(sub["substring_hot_spans"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p
+    for key in ("substring_dup_coverage", "substring_span_merge",
+                "memorization_risk"):
+        p = plan_of(sub[key].build(spark, sf_dir), "simple")
+        assert "Exchange rangepartitioning" not in p, (
+            f"{key}: global sort crept in"
+        )
