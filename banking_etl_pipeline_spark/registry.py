@@ -110,10 +110,10 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
 # _MODULES until their driver-verification backlog slot opens. The first
-# eight tiers registered in round 5 (loop above); substrings/pquant/shards
-# were built in round 4 and queue for the next open window — to register,
-# move a name into the loop above.
-_DEFERRED_MODULE_NAMES = ("substrings", "pquant", "shards")
+# eight tiers registered in round 5 (loop above); substrings/pquant/
+# shards/dataops were built in round 4 and queue for the next open window
+# — to register, move a name into the loop above.
+_DEFERRED_MODULE_NAMES = ("substrings", "pquant", "shards", "dataops")
 
 
 def deferred_modules() -> list:

@@ -94,6 +94,7 @@ def test_r5_registration_landed():
         "pq_encode", "pq_codebook_report", "pq_distortion_report",
         "pq_ann_probe",
         "shard_assignment", "shard_manifest", "shard_balance_report",
+        "dataset_diff", "column_drift_report", "changed_keys_sample",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -113,7 +114,7 @@ def test_r5_registration_landed():
 
 
 def test_remaining_deferred_tiers_ready_for_registration():
-    """The still-deferred tiers (substrings/pquant/shards) must drop into the
+    """The still-deferred tiers (substrings/pquant/shards/dataops) must drop into
     registry without collisions, each spec complete — enabling them is a
     one-name move in registry._MODULES."""
     from banking_etl_pipeline_spark.registry import deferred_modules
@@ -133,7 +134,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 11
+    assert len(seen) == 14
 
 
 def test_deferred_registration_actually_works(monkeypatch):
