@@ -21,8 +21,13 @@ def ftrunc(col: Column, k: int = 2) -> Column:
 
 
 def sql_ftrunc(expr: str, k: int = 2) -> str:
+    # trailing `+ 0.0` canonicalizes -0.0 → +0.0: Spark's ftrunc floors to
+    # LONG (sign of zero dropped) while DuckDB's double FLOOR preserves it,
+    # so ftrunc(-0.0) would repr-diverge ("0.0" vs "-0.0"). For every other
+    # value x + 0.0 == x exactly. Parenthesized: callers embed this string
+    # inside larger expressions.
     scale = f"{10**k}.0"
-    return f"FLOOR(({expr}) * {scale}) / {scale}"
+    return f"(FLOOR(({expr}) * {scale}) / {scale} + 0.0)"
 
 
 def cents(col: Column, k: int = 2) -> Column:

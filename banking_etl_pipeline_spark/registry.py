@@ -93,16 +93,27 @@ try:  # round-2+ curation tier: registered last so its (new, never-verified)
 except ImportError:  # pragma: no cover
     pass
 
+# Round-5 registration: the eight tiers built (and rehearsed through the
+# exact driver comparison — DRIVER_SIM_r04_deferred.log, 231/231 ok) under
+# the r2-r4 registry freeze. They queue behind the pre-existing backlog in
+# the unverified-first rotation.
+for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
+              "preference", "curriculum", "weaklabel"):
+    try:
+        import importlib as _importlib
+
+        _MODULES.append(
+            _importlib.import_module(f".operators.{_name}", __package__))
+    except ImportError:  # pragma: no cover
+        pass
+
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
-# _MODULES until the driver-verification backlog drains (round-2 verdict
-# freeze). To register a tier in r05+, move its name from this tuple into
-# the _MODULES imports above — one place to edit, and the registry-contract
-# test keeps the two sets disjoint until then.
-_DEFERRED_MODULE_NAMES = (
-    "reports", "tokenizer", "privacy", "bitext", "safety", "preference",
-    "curriculum", "weaklabel", "substrings", "pquant", "shards", "dataops",
-)
+# _MODULES until their driver-verification backlog slot opens. The first
+# eight tiers registered in round 5 (loop above); substrings/pquant/
+# shards/dataops were built in round 4 and queue for the next open window
+# — to register, move a name into the loop above.
+_DEFERRED_MODULE_NAMES = ("substrings", "pquant", "shards", "dataops")
 
 
 def deferred_modules() -> list:

@@ -212,6 +212,39 @@ HEADLINE = [
     "string_funcs",
     "date_arithmetic",
     "array_funcs",
+    # round-5 registration: the eight former deferred tiers
+    "source_quality_report",
+    "minhash_param_sweep",
+    "dedup_threshold_curve",
+    "char_entropy_quality",
+    "bpe_merge_train",
+    "bpe_encode_report",
+    "heaps_law",
+    "zipf_tail_report",
+    "dp_count_release",
+    "l_diversity_audit",
+    "generalization_ladder",
+    "pii_redact_digest",
+    "bitext_margin_pairs",
+    "bitext_reciprocal_best",
+    "bitext_mining_report",
+    "bitext_lang_coverage",
+    "safety_lexicon_ratio",
+    "injection_pattern_scan",
+    "safety_blocklist_audit",
+    "safety_funnel",
+    "preference_pairs",
+    "preference_gap_report",
+    "preference_split",
+    "preference_budget_cap",
+    "curriculum_phases",
+    "anneal_repeat_plan",
+    "curriculum_order",
+    "phase_vocab_overlap",
+    "weak_label_matrix",
+    "label_model_vote",
+    "lf_conflict_report",
+    "lf_coverage_report",
 ]
 
 

@@ -404,22 +404,18 @@ def test_cents_and_ftrunc_cross_engine_bit_parity(spark, xs):
     con.execute("CREATE TABLE t (i INT, x DOUBLE)")
     con.executemany("INSERT INTO t VALUES (?, ?)",
                     [(i, x) for i, x in enumerate(xs)])
+    from banking_etl_pipeline_spark.functions.numeric import sql_ftrunc
+
     want = {i: (c, t) for i, c, t in con.execute(
         "SELECT i, CAST(FLOOR(x * 100.0 + 0.5) AS BIGINT),"
-        " FLOOR(x * 1000000.0) / 1000000.0 FROM t").fetchall()}
+        f" {sql_ftrunc('x', 6)} FROM t").fetchall()}
     for i in got:
         assert got[i][0] == want[i][0], f"cents diverged on {xs[i]!r}"
-        # KNOWN divergence class, found by this very test: ftrunc(-0.0) is
-        # +0.0 in Spark (floor→LONG drops the sign) but -0.0 in DuckDB
-        # (double FLOOR preserves it). No registered pipeline can feed an
-        # exact -0.0 into ftrunc (parity green at sf0.001/0.01/0.1), and
-        # the planned fix — canonicalizing sql_ftrunc with `+ 0.0` — must
-        # wait until the driver-verification backlog drains, because
-        # changing every oracle's SQL text re-queues all green keys via
-        # the ORACLE_SHAS invalidation. Until then, -0.0 == 0.0 here.
+        # bit-parity with NO carve-outs: sql_ftrunc's trailing `+ 0.0`
+        # canonicalizes the -0.0 divergence this test originally found
+        # (Spark floor→LONG drops the zero sign, DuckDB double FLOOR
+        # keeps it), so repr-compare is exact on the full double range.
         g, w = got[i][1], want[i][1]
-        if g == 0.0 and w == 0.0:
-            continue
         assert repr(g) == repr(w), f"ftrunc diverged on {xs[i]!r}"
 
 

@@ -102,14 +102,46 @@ def test_no_oracle_emits_hugeint():
     )
 
 
-def test_deferred_tiers_ready_for_registration():
-    """r05 rehearsal contract: the registration-deferred tiers must drop
-    into the registry without collisions, each spec complete (builder +
-    oracle + doc) — so enabling them is a one-line _MODULES append."""
-    from banking_etl_pipeline_spark.registry import (
-        all_queries,
-        deferred_modules,
-    )
+def test_r5_registration_landed():
+    """The round-5 registration: the eight former deferred tiers are in the
+    registry proper (231 keys), each spec complete, the deferred list is
+    empty, and the never-driver-verified tier keys emit inside the
+    unverified-first block of the rotation."""
+    from banking_etl_pipeline_spark.registry import deferred_queries
+    from banking_etl_pipeline_spark.spec import QuerySpec
+
+    merged = all_queries()
+    assert len(merged) == 231
+    assert set(deferred_queries()) == {
+        "substring_dup_coverage", "substring_hot_spans",
+        "substring_span_merge", "memorization_risk",
+        "pq_encode", "pq_codebook_report", "pq_distortion_report",
+        "pq_ann_probe",
+        "shard_assignment", "shard_manifest", "shard_balance_report",
+        "dataset_diff", "column_drift_report", "changed_keys_sample",
+    }
+    for key in ("source_quality_report", "bpe_merge_train",
+                "dp_count_release", "bitext_margin_pairs", "safety_funnel",
+                "preference_pairs", "curriculum_order", "weak_label_matrix"):
+        assert key in merged, f"tier key {key!r} missing from the registry"
+        spec = merged[key]
+        assert isinstance(spec, QuerySpec) and callable(spec.build), key
+        assert spec.oracle and spec.oracle.strip().upper().startswith(
+            ("WITH", "SELECT")), f"{key}: oracle missing/odd"
+        assert spec.doc, f"{key}: missing description"
+    # no driver rows yet → the rotation orders them before verified keys
+    order = list(merged)
+    verified = driver_verified_keys()
+    if "pricing_summary" in verified:
+        assert order.index("curriculum_order") < order.index(
+            "pricing_summary")
+
+
+def test_remaining_deferred_tiers_ready_for_registration():
+    """The still-deferred tiers (substrings/pquant/shards/dataops) must drop into
+    registry without collisions, each spec complete — enabling them is a
+    one-name move in registry._MODULES."""
+    from banking_etl_pipeline_spark.registry import deferred_modules
     from banking_etl_pipeline_spark.spec import QuerySpec
 
     registered = set(all_queries())
@@ -126,12 +158,12 @@ def test_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 46
+    assert len(seen) == 14
 
 
 def test_deferred_registration_actually_works(monkeypatch):
-    """Don't just assert readiness — perform the r05 registration against a
-    patched _MODULES and walk the real code path (this is the test that
+    """Don't just assert readiness — perform the next registration against
+    a patched _MODULES and walk the real code path (this is the test that
     would have caught _registered() requiring a QUERIES attribute the
     deferred modules don't have)."""
     from banking_etl_pipeline_spark import registry
@@ -141,8 +173,9 @@ def test_deferred_registration_actually_works(monkeypatch):
         list(registry._MODULES) + registry.deferred_modules(),
     )
     merged = registry.all_queries()
-    assert len(merged) == 199 + len(registry.deferred_queries())
-    assert "curriculum_order" in merged and "pricing_summary" in merged
+    assert len(merged) == 231 + len(registry.deferred_queries())
+    assert "pq_encode" in merged and "pricing_summary" in merged
     # deferred keys have no driver rows yet → the rotation emits them early
     order = list(merged)
-    assert order.index("curriculum_order") < order.index("pricing_summary")
+    if "pricing_summary" in registry.driver_verified_keys():
+        assert order.index("pq_encode") < order.index("pricing_summary")
