@@ -113,7 +113,9 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 # eight tiers registered in round 5 (loop above); substrings/pquant/
 # shards/dataops were built in round 4 and queue for the next open window
 # — to register, move a name into the loop above.
-_DEFERRED_MODULE_NAMES = ("substrings", "pquant", "shards", "dataops")
+_DEFERRED_MODULE_NAMES = (
+    "substrings", "pquant", "shards", "dataops", "retrieval", "epochs",
+)
 
 
 def deferred_modules() -> list:

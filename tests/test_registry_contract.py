@@ -119,6 +119,9 @@ def test_r5_registration_landed():
         "pq_ann_probe",
         "shard_assignment", "shard_manifest", "shard_balance_report",
         "dataset_diff", "column_drift_report", "changed_keys_sample",
+        "retrieval_mrr", "retrieval_precision_recall", "retrieval_ndcg",
+        "retrieval_knn_accuracy",
+        "epoch_shuffle_heads", "temperature_mixture", "resume_plan",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -158,7 +161,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 14
+    assert len(seen) == 21
 
 
 def test_deferred_registration_actually_works(monkeypatch):
