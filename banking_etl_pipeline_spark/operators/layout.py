@@ -383,7 +383,86 @@ FROM ranked r JOIN targets t ON r.rn = t.target
 """
 
 
+ZM_FILE_KEYS = 256  # synthetic file = 256 consecutive order keys
+ZM_SHIP_CUTOFF = "2000-01-01 00:00:00"
+ZM_OKEY_CUTOFF = 1_000
+
+
+def zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max statistics) pruning effectiveness audit —
+    the report a table-maintenance job runs to decide whether a layout
+    rewrite (sort / Z-order) is worth it. Files are simulated as
+    ZM_FILE_KEYS consecutive order keys (the natural ingest order). Two
+    predicate classes are audited off ONE per-file stats aggregate:
+    `l_orderkey <= c` prunes almost everything (the key is the write
+    order, so file ranges are disjoint) while `l_shipdate >= c` prunes
+    almost nothing (ship dates are uncorrelated with write order) — the
+    gap IS the case for re-sorting. One shuffle on the derived file id,
+    then two bounded aggregate rows; scales as a single pass."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy(F.expr(f"l_orderkey div {ZM_FILE_KEYS}").alias("file_id"))
+        .agg(
+            F.max("l_shipdate").alias("mx_ship"),
+            F.min("l_orderkey").alias("mn_okey"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    ship_skip = F.col("mx_ship") < F.lit(ZM_SHIP_CUTOFF).cast("timestamp")
+    okey_skip = F.col("mn_okey") > ZM_OKEY_CUTOFF
+    ship = stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(ship_skip.cast("long")).alias("n_skippable"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(ship_skip, F.col("n_rows")).otherwise(0))
+        .alias("rows_skipped"),
+    ).withColumn("predicate", F.lit("ship_ge_cutoff"))
+    okey = stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(okey_skip.cast("long")).alias("n_skippable"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(okey_skip, F.col("n_rows")).otherwise(0))
+        .alias("rows_skipped"),
+    ).withColumn("predicate", F.lit("okey_le_cutoff"))
+    cols = ["predicate", "n_files", "n_skippable", "rows_total",
+            "rows_skipped"]
+    return ship.select(cols).unionByName(okey.select(cols))
+
+
+ZONEMAP_PRUNE_REPORT_SQL = f"""
+WITH stats AS (
+  SELECT l_orderkey // {ZM_FILE_KEYS} AS file_id,
+         MAX(l_shipdate) AS mx_ship,
+         MIN(l_orderkey) AS mn_okey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT 'ship_ge_cutoff' AS predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mx_ship < TIMESTAMP '{ZM_SHIP_CUTOFF}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mx_ship < TIMESTAMP '{ZM_SHIP_CUTOFF}'
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+FROM stats
+UNION ALL
+SELECT 'okey_le_cutoff' AS predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mn_okey > {ZM_OKEY_CUTOFF}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN mn_okey > {ZM_OKEY_CUTOFF}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+FROM stats
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zonemap_prune_report": QuerySpec(
+        zonemap_prune_report,
+        ZONEMAP_PRUNE_REPORT_SQL,
+        "file min/max zone-map pruning audit across two predicate classes",
+    ),
     "range_split_points": QuerySpec(
         range_split_points,
         RANGE_SPLIT_POINTS_SQL,

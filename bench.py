@@ -245,6 +245,7 @@ HEADLINE = [
     "label_model_vote",
     "lf_conflict_report",
     "lf_coverage_report",
+    "zonemap_prune_report",
 ]
 
 

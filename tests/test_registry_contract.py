@@ -104,14 +104,14 @@ def test_no_oracle_emits_hugeint():
 
 def test_r5_registration_landed():
     """The round-5 registration: the eight former deferred tiers are in the
-    registry proper (231 keys), each spec complete, the deferred list is
+    registry proper (232 keys with zonemap_prune_report), each spec complete, the deferred list is
     empty, and the never-driver-verified tier keys emit inside the
     unverified-first block of the rotation."""
     from banking_etl_pipeline_spark.registry import deferred_queries
     from banking_etl_pipeline_spark.spec import QuerySpec
 
     merged = all_queries()
-    assert len(merged) == 231
+    assert len(merged) == 232
     assert set(deferred_queries()) == {
         "substring_dup_coverage", "substring_hot_spans",
         "substring_span_merge", "memorization_risk",
@@ -176,7 +176,7 @@ def test_deferred_registration_actually_works(monkeypatch):
         list(registry._MODULES) + registry.deferred_modules(),
     )
     merged = registry.all_queries()
-    assert len(merged) == 231 + len(registry.deferred_queries())
+    assert len(merged) == 232 + len(registry.deferred_queries())
     assert "pq_encode" in merged and "pricing_summary" in merged
     # deferred keys have no driver rows yet → the rotation emits them early
     order = list(merged)
