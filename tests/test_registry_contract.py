@@ -122,6 +122,7 @@ def test_r5_registration_landed():
         "retrieval_mrr", "retrieval_precision_recall", "retrieval_ndcg",
         "retrieval_knn_accuracy",
         "epoch_shuffle_heads", "temperature_mixture", "resume_plan",
+        "ivm_join_delta", "ivm_minmax_repair", "ivm_topk_maintain",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -161,7 +162,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 21
+    assert len(seen) == 24
 
 
 def test_deferred_registration_actually_works(monkeypatch):
