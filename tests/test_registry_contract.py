@@ -123,6 +123,7 @@ def test_r5_registration_landed():
         "retrieval_knn_accuracy",
         "epoch_shuffle_heads", "temperature_mixture", "resume_plan",
         "ivm_join_delta", "ivm_minmax_repair", "ivm_topk_maintain",
+        "target_encoding_oof", "woe_iv_report", "mutual_information",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -162,7 +163,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 24
+    assert len(seen) == 27
 
 
 def test_deferred_registration_actually_works(monkeypatch):
