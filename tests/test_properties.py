@@ -836,3 +836,61 @@ def test_snapshot_diff_matches_model(spark, a, b):
         "chg_y": sum(1 for k in both if ma[k][1] != mb[k][1]),
     }
     assert got == want
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(), st.integers(-1_000, 1_000)),
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_distributed_prefix_sum_null_semantics(spark, vals):
+    """The documented NULL contract of functions/ranks.py::
+    distributed_prefix_sum — NULLs count as 0 in BOTH phases, so a
+    NULL-heavy range partition can never poison later partitions'
+    offsets — against a pure-Python model, across partition layouts."""
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    run, want = 0, {}
+    for i, v in enumerate(vals):
+        run += v or 0
+        want[i] = run
+    for p in (1, 3, 7):
+        out = distributed_prefix_sum(
+            df, [F.col("i").asc()], "v", out="p", num_partitions=p
+        )
+        got = {r.i: r.p for r in out.collect()}
+        assert got == want, f"partitions={p}"
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 50), st.integers(-10**6, 10**6)),
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_distributed_row_number_is_long_and_exact(spark, rows):
+    """ADVICE r4 regression pin: the global rank column is LongType (an
+    int rank wraps past 2.15 B rows) and matches the enumeration of the
+    total order exactly, across partition layouts."""
+    from banking_etl_pipeline_spark.functions.ranks import (
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "i long, a long, b long",
+    )
+    order = sorted(range(len(rows)), key=lambda i: (rows[i], i))
+    want = {idx: rank + 1 for rank, idx in enumerate(order)}
+    for p in (1, 4):
+        out = distributed_row_number(
+            df,
+            [F.col("a").asc(), F.col("b").asc(), F.col("i").asc()],
+            out="rn",
+            num_partitions=p,
+        )
+        assert dict(out.dtypes)["rn"] == "bigint"
+        got = {r.i: r.rn for r in out.collect()}
+        assert got == want, f"partitions={p}"
