@@ -125,6 +125,7 @@ def test_r5_registration_landed():
         "ivm_join_delta", "ivm_minmax_repair", "ivm_topk_maintain",
         "target_encoding_oof", "woe_iv_report", "mutual_information",
         "calibration_bins", "ece_report", "brier_score",
+        "bfs_layers", "bfs_frontier_report", "bfs_reach_report",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -164,7 +165,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 30
+    assert len(seen) == 33
 
 
 def test_deferred_registration_actually_works(monkeypatch):
