@@ -115,7 +115,7 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 # — to register, move a name into the loop above.
 _DEFERRED_MODULE_NAMES = (
     "substrings", "pquant", "shards", "dataops", "retrieval", "epochs",
-    "ivm", "features", "calibration", "graphs",
+    "ivm", "features", "calibration", "graphs", "kmv",
 )
 
 

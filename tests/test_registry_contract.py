@@ -126,6 +126,7 @@ def test_r5_registration_landed():
         "target_encoding_oof", "woe_iv_report", "mutual_information",
         "calibration_bins", "ece_report", "brier_score",
         "bfs_layers", "bfs_frontier_report", "bfs_reach_report",
+        "kmv_type_sketch", "kmv_union_report", "kmv_jaccard_report",
     }
     for key in ("source_quality_report", "bpe_merge_train",
                 "dp_count_release", "bitext_margin_pairs", "safety_funnel",
@@ -165,7 +166,7 @@ def test_remaining_deferred_tiers_ready_for_registration():
             assert spec.oracle and spec.oracle.strip().upper().startswith(
                 ("WITH", "SELECT")), f"{key}: oracle missing/odd"
             assert spec.doc, f"{key}: missing description"
-    assert len(seen) == 33
+    assert len(seen) == 36
 
 
 def test_deferred_registration_actually_works(monkeypatch):
