@@ -95,10 +95,17 @@ except ImportError:  # pragma: no cover
 
 # Round-5 registration: the eight tiers built (and rehearsed through the
 # exact driver comparison — DRIVER_SIM_r04_deferred.log, 231/231 ok) under
-# the r2-r4 registry freeze. They queue behind the pre-existing backlog in
-# the unverified-first rotation.
+# the r2-r4 registry freeze. Round-6 registration: the remaining eleven
+# deferred tiers (built r4/r5, all sim-green at sf0.01; the 30 staged ones
+# also at sf0.1) — with the r5 window fully green the never-verified queue
+# after this registration is exactly these 36 keys, fitting one ~50-entry
+# driver window. They queue behind nothing: the unverified-first rotation
+# puts them at the head automatically.
 for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
-              "preference", "curriculum", "weaklabel"):
+              "preference", "curriculum", "weaklabel",
+              # --- round 6 ---
+              "substrings", "pquant", "shards", "dataops", "retrieval",
+              "epochs", "ivm", "features", "calibration", "graphs", "kmv"):
     try:
         import importlib as _importlib
 
@@ -109,14 +116,11 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
-# _MODULES until their driver-verification backlog slot opens. The first
-# eight tiers registered in round 5 (loop above); substrings/pquant/
-# shards/dataops were built in round 4 and queue for the next open window
-# — to register, move a name into the loop above.
-_DEFERRED_MODULE_NAMES = (
-    "substrings", "pquant", "shards", "dataops", "retrieval", "epochs",
-    "ivm", "features", "calibration", "graphs", "kmv",
-)
+# _MODULES until their driver-verification backlog slot opens. All eleven
+# r4/r5 tiers registered in round 6 — the deferred list is currently empty.
+# To defer a future tier, add its module name here (the module needs a
+# `queries()` function returning {key: QuerySpec}).
+_DEFERRED_MODULE_NAMES: tuple[str, ...] = ()
 
 
 def deferred_modules() -> list:

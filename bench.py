@@ -246,6 +246,43 @@ HEADLINE = [
     "lf_conflict_report",
     "lf_coverage_report",
     "zonemap_prune_report",
+    # round-6 registration: the eleven former deferred tiers
+    "substring_dup_coverage",
+    "substring_hot_spans",
+    "substring_span_merge",
+    "memorization_risk",
+    "pq_encode",
+    "pq_codebook_report",
+    "pq_distortion_report",
+    "pq_ann_probe",
+    "shard_assignment",
+    "shard_manifest",
+    "shard_balance_report",
+    "dataset_diff",
+    "column_drift_report",
+    "changed_keys_sample",
+    "retrieval_mrr",
+    "retrieval_precision_recall",
+    "retrieval_ndcg",
+    "retrieval_knn_accuracy",
+    "epoch_shuffle_heads",
+    "temperature_mixture",
+    "resume_plan",
+    "ivm_join_delta",
+    "ivm_minmax_repair",
+    "ivm_topk_maintain",
+    "target_encoding_oof",
+    "woe_iv_report",
+    "mutual_information",
+    "calibration_bins",
+    "ece_report",
+    "brier_score",
+    "bfs_layers",
+    "bfs_frontier_report",
+    "bfs_reach_report",
+    "kmv_type_sketch",
+    "kmv_union_report",
+    "kmv_jaccard_report",
 ]
 
 
@@ -255,6 +292,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
     keys = [k for k in HEADLINE if k in queries]
+    # scale runs (scripts/make_scale_data.py → .scratch/sf1) bench a subset:
+    # SPARK_GRAFT_BENCH_KEYS=a,b,c restricts to those keys, HEADLINE order
+    subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    if subset:
+        wanted = {k.strip() for k in subset.split(",") if k.strip()}
+        keys = [k for k in keys if k in wanted]
 
     # one-time noop-sink + codegen warmup so the first timed query doesn't
     # absorb datasource-initialization cost (~2.5 s measured)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Build an sf1-equivalent bench dataset by 10x-replicating sf0.1.
+
+The driver ships parquet at sf{0.001,0.01,0.1} only; SCALE.md's claims
+("this plan survives a scale-up") deserve at least one measured datapoint
+above sf0.1. This script replicates each SCALING table 10x with
+per-replica key offsets — every replica joins within itself, exactly how
+disjoint key ranges behave on a real 10x dataset — and copies the
+fixed-size dimensions (region, nation) as-is, matching TPC-H semantics
+where dimension cardinality is sf-independent.
+
+Content columns are perturbed per replica where identity would distort
+the workload (documents.text gets a per-replica marker token so the
+near-dup structure doesn't explode 10x; embeddings get a tiny
+deterministic first-component shift so cosine buckets stay spread).
+
+Output: /root/repo/.scratch/sf1/*.parquet (gitignored, ~170 MB).
+Usage:  python scripts/make_scale_data.py [replicas]
+Then:   SPARK_GRAFT_SF_DIR=$PWD/.scratch/sf1 python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch", "sf1")
+
+# fixed-size dimensions: straight copy (TPC-H: 5 regions / 25 nations at
+# every sf)
+DIMS = ("region", "nation")
+
+# scaling tables: key columns offset by replica * (max_key + 1) so FK
+# relationships hold within each replica and key ranges are disjoint
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# key column → the table whose PK defines its offset stride (FKs must use
+# the PARENT table's stride or replica-local joins break)
+STRIDE_OF = {
+    "c_custkey": "customer", "s_suppkey": "supplier",
+    "p_partkey": "part", "o_orderkey": "orders", "o_custkey": "customer",
+    "l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier",
+    "event_id": "events", "user_id": "events",
+    "doc_id": "documents", "vec_id": "embeddings",
+}
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+
+    strides: dict[str, int] = {}
+    for table, keys in KEYED.items():
+        pk = keys[0]
+        strides[table] = con.execute(
+            f"SELECT max({pk}) + 1 FROM '{SRC}/{table}.parquet'"
+        ).fetchone()[0]
+
+    for table in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
+            f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"{table}: copied (fixed-size dimension)")
+
+    for table, keys in KEYED.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
+        exprs = []
+        for c in cols:
+            if c in keys:
+                stride = strides[STRIDE_OF[c]]
+                exprs.append(f"{c} + r.i * {stride} AS {c}")
+            elif table == "documents" and c == "text":
+                # replica 0 keeps the original text bit-for-bit; others get
+                # a marker token so cross-replica docs are near- not
+                # exact-duplicates (identity would multiply every dup
+                # cluster by the replica count)
+                exprs.append(
+                    "CASE WHEN r.i = 0 THEN text "
+                    "ELSE text || ' r' || r.i END AS text")
+            elif table == "embeddings" and c == "embedding":
+                exprs.append(
+                    "list_transform(embedding, (x, j) -> CASE WHEN j = 1 "
+                    "THEN CAST(x + r.i * 0.001 AS FLOAT) ELSE x END) "
+                    "AS embedding")
+            else:
+                exprs.append(c)
+        sql = (
+            f"COPY (SELECT {', '.join(exprs)} "
+            f"FROM '{SRC}/{table}.parquet', range({replicas}) r(i)) "
+            f"TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+        con.execute(sql)
+        n = con.execute(
+            f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows ({replicas}x)")
+
+
+if __name__ == "__main__":
+    main()
