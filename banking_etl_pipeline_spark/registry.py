@@ -117,10 +117,10 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
 # _MODULES until their driver-verification backlog slot opens. All eleven
-# r4/r5 tiers registered in round 6 — the deferred list is currently empty.
-# To defer a future tier, add its module name here (the module needs a
-# `queries()` function returning {key: QuerySpec}).
-_DEFERRED_MODULE_NAMES: tuple[str, ...] = ()
+# r4/r5 tiers registered in round 6; `planner` (scale-planning advisors,
+# built r6) queues for the r7 window. To register, move the name into the
+# loop above (the module needs a `queries()` function → {key: QuerySpec}).
+_DEFERRED_MODULE_NAMES: tuple[str, ...] = ("planner",)
 
 
 def deferred_modules() -> list:

@@ -114,7 +114,11 @@ def test_r6_registration_landed():
 
     merged = all_queries()
     assert len(merged) == 268
-    assert deferred_queries() == {}
+    # the only deferred tier is the r6-built planner (queues for r7)
+    assert set(deferred_queries()) == {
+        "shuffle_partition_plan", "broadcast_plan", "salting_plan",
+        "partition_skew_report",
+    }
     for key in ("substring_dup_coverage", "pq_encode", "shard_assignment",
                 "dataset_diff", "retrieval_ndcg", "epoch_shuffle_heads",
                 "ivm_join_delta", "target_encoding_oof", "ece_report",
