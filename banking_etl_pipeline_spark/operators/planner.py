@@ -24,6 +24,13 @@ the recommendations themselves are oracle-checkable:
   bit-identical in both — functions/hashing.py) and report the
   max/min bucket load and the max-vs-average skew per-mille, the
   statistic AQE's skew-join mitigation keys off.
+- lsh_candidate_report: per LSH band over `embeddings` — bucket count,
+  hottest bucket, and the exact candidate-pair budget Σ n·(n−1)/2 the
+  banded self-join will generate. Candidates scale ~N²·N_BANDS/2^BAND_BITS
+  (measured: 469 k at sf0.1 → 47 M at sf1, quadratic — the sf1 bench's
+  one super-linear query traced to exactly this), so this report is the
+  pre-flight check that tells an operator to raise BAND_BITS BEFORE
+  paying the join.
 
 Widths are schema constants (TESTDATA.md schemas are fixed): 8 for
 BIGINT/DOUBLE/TIMESTAMP, 4 for INTEGER/FLOAT elements, exact
@@ -260,6 +267,60 @@ FROM buckets
 """
 
 
+def lsh_candidate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import lsh_bands_cached
+
+    bands = lsh_bands_cached(spark, sf_dir)
+    buckets = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").alias("max_bucket_n"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def _lsh_candidate_report_sql() -> str:
+    # the exact sigs pipeline the ANN/dedup oracles replay (similarity.py)
+    from .similarity import BAND_BITS, N_BANDS, _SQL_PLANE
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+  SELECT p, {_SQL_PLANE} AS pv FROM range({N_BANDS * BAND_BITS}) t(p)
+),
+bits AS (
+  SELECT e.vec_id, CAST(p // {BAND_BITS} AS INTEGER) AS band,
+         CASE WHEN list_dot_product(e.v, planes.pv) >= 0
+              THEN 1 << CAST(p % {BAND_BITS} AS INTEGER) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes
+),
+sigs AS (
+  SELECT vec_id, band, CAST(SUM(bit) AS INTEGER) AS sig
+  FROM bits GROUP BY vec_id, band
+),
+buckets AS (
+  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS n FROM sigs GROUP BY band, sig
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       MAX(n) AS max_bucket_n,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band
+ORDER BY band
+"""
+
+
+LSH_CANDIDATE_REPORT_SQL = _lsh_candidate_report_sql()
+
+
 def queries() -> dict[str, QuerySpec]:
     return {
         "shuffle_partition_plan": QuerySpec(
@@ -285,5 +346,11 @@ def queries() -> dict[str, QuerySpec]:
             PARTITION_SKEW_REPORT_SQL,
             "md5-bucket hash-partition load: max/min bucket rows and"
             " skew per-mille",
+        ),
+        "lsh_candidate_report": QuerySpec(
+            lsh_candidate_report,
+            LSH_CANDIDATE_REPORT_SQL,
+            "per-band LSH bucket stats + exact candidate-pair budget"
+            " (pre-flight for the banded self-join)",
         ),
     }

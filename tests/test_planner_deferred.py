@@ -33,7 +33,7 @@ def pq():
 
 @pytest.mark.parametrize(
     "key", ["shuffle_partition_plan", "broadcast_plan", "salting_plan",
-            "partition_skew_report"]
+            "partition_skew_report", "lsh_candidate_report"]
 )
 def test_planner_oracle_parity(key, spark, sf_dir, pq):
     spec = pq[key]
@@ -138,3 +138,26 @@ def test_skew_report_matches_python_model(spark, sf_dir, pq):
     # max load is at least the average → skew per-mille >= ~1000 (integer
     # floor can shave at most 1)
     assert row["skew_permille"] >= 999
+
+
+def test_lsh_candidate_report_matches_bands(spark, sf_dir, pq):
+    """candidate_pairs re-derived from the actual cached band relation the
+    dedup/ANN joins consume — the report must price exactly the join that
+    would run — plus the Σ n(n−1)/2 identity per band."""
+    from banking_etl_pipeline_spark.operators.similarity import (
+        N_BANDS,
+        lsh_bands_cached,
+    )
+
+    sizes: dict = {}
+    for r in lsh_bands_cached(spark, sf_dir).collect():
+        sizes.setdefault(r["band"], {}).setdefault(r["sig"], 0)
+        sizes[r["band"]][r["sig"]] += 1
+    rows = pq["lsh_candidate_report"].build(spark, sf_dir).collect()
+    assert len(rows) == N_BANDS == len(sizes)
+    for r in rows:
+        b = sizes[r["band"]]
+        assert r["n_buckets"] == len(b)
+        assert r["max_bucket_n"] == max(b.values())
+        assert r["candidate_pairs"] == sum(n * (n - 1) // 2
+                                           for n in b.values())

@@ -117,7 +117,7 @@ def test_r6_registration_landed():
     # the only deferred tier is the r6-built planner (queues for r7)
     assert set(deferred_queries()) == {
         "shuffle_partition_plan", "broadcast_plan", "salting_plan",
-        "partition_skew_report",
+        "partition_skew_report", "lsh_candidate_report",
     }
     for key in ("substring_dup_coverage", "pq_encode", "shard_assignment",
                 "dataset_diff", "retrieval_ndcg", "epoch_shuffle_heads",
