@@ -120,7 +120,7 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 # r4/r5 tiers registered in round 6; `planner` (scale-planning advisors,
 # built r6) queues for the r7 window. To register, move the name into the
 # loop above (the module needs a `queries()` function → {key: QuerySpec}).
-_DEFERRED_MODULE_NAMES: tuple[str, ...] = ("planner",)
+_DEFERRED_MODULE_NAMES: tuple[str, ...] = ("planner", "lshscale")
 
 
 def deferred_modules() -> list:

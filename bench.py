@@ -283,6 +283,16 @@ HEADLINE = [
     "kmv_type_sketch",
     "kmv_union_report",
     "kmv_jaccard_report",
+    # r6-built deferred tiers (benched once registered; the HEADLINE
+    # filter drops keys not yet in the registry)
+    "shuffle_partition_plan",
+    "broadcast_plan",
+    "salting_plan",
+    "partition_skew_report",
+    "lsh_candidate_report",
+    "lsh_paramscan_report",
+    "lsh_recall_tradeoff_report",
+    "dedup_embedding_cosine_scaled",
 ]
 
 

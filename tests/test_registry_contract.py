@@ -118,6 +118,8 @@ def test_r6_registration_landed():
     assert set(deferred_queries()) == {
         "shuffle_partition_plan", "broadcast_plan", "salting_plan",
         "partition_skew_report", "lsh_candidate_report",
+        "lsh_paramscan_report", "lsh_recall_tradeoff_report",
+        "dedup_embedding_cosine_scaled",
     }
     for key in ("substring_dup_coverage", "pq_encode", "shard_assignment",
                 "dataset_diff", "retrieval_ndcg", "epoch_shuffle_heads",
