@@ -63,6 +63,8 @@ GALLERY: dict[str, str] = {
     "preference_budget_cap": "Rank-aligned chosen/rejected equi-join on (group, rank) — K pairs per group, never K×K — then one window running sum enforces the token budget.",
     "phase_vocab_overlap": "Distinct (bigram, phase) relation → per-bigram presence flags in ONE aggregate → conditional sums; vocabulary-sized shuffles, no vocab self-join.",
     "lf_coverage_report": "Whole LFAnalysis table (coverage/polarity/overlap/conflict × 4 LFs) from ONE aggregate of conditional sums, stack-reshaped; no join.",
+    "salting_plan": "Hot-key table from one group-by; the global total rides a broadcast 1-row join; top-10 via TakeOrdered, never a global sort.",
+    "dedup_embedding_cosine_scaled": "Scaled (24×12) sign-LSH band self equi-join + exact re-rank — same shape as the base detector at ~1/40th the candidate budget.",
 }
 
 
