@@ -1638,17 +1638,22 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED hints: DuckDB inlines CTEs per reference, so the pair-join
+# behind `edges` (30M rows at sf1) re-executed for each of its three
+# consumers and spilled >80 GB; materialized once it runs in 3.8 s under
+# an 8 GB cap (measured r6, .scratch/sf1). Pure plan hint — semantics and
+# results unchanged (the sha re-queue this causes is intentional).
 TRIANGLE_COUNT_SQL = f"""
-WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 small AS (
   SELECT l_orderkey FROM lines GROUP BY l_orderkey
   HAVING COUNT(*) <= {BASKET_MAX_LINES}
 ),
-b AS (
+b AS MATERIALIZED (
   SELECT l.l_orderkey, l.l_partkey FROM lines l
   WHERE l.l_orderkey IN (SELECT l_orderkey FROM small)
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS u, c.l_partkey AS v
   FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
    AND a.l_partkey < c.l_partkey
@@ -1664,7 +1669,7 @@ keyed AS (
   SELECT e.u, e.v, ru.r AS ru, rv.r AS rv
   FROM edges e JOIN rank_t ru ON ru.x = e.u JOIN rank_t rv ON rv.x = e.v
 ),
-out_e AS (
+out_e AS MATERIALIZED (
   SELECT CASE WHEN ru < rv THEN u ELSE v END AS a,
          CASE WHEN ru < rv THEN v ELSE u END AS b,
          GREATEST(ru, rv) AS rb

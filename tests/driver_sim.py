@@ -48,6 +48,16 @@ def main() -> int:
             assert key not in q, f"deferred key collides: {key}"
             q[key] = spec.build
             osql[key] = spec.oracle
+    # SPARK_GRAFT_ONLY_KEYS=a,b,c restricts the comparison to those keys
+    # (debug / resume-after-crash runs); the pending-sha snapshot below is
+    # skipped for partial runs so a subset can never masquerade as a full
+    # verification.
+    only = os.environ.get("SPARK_GRAFT_ONLY_KEYS")
+    partial = False
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        q = {k: v for k, v in q.items() if k in wanted}
+        partial = True
     from pyspark.sql.types import ArrayType, MapType
 
     bad = []
@@ -88,7 +98,7 @@ def main() -> int:
         if not ok:
             bad.append(key)
     print(f"summary: {len(q) - len(bad)}/{len(q)} ok; mismatched: {bad}")
-    if not bad:
+    if not bad and not partial:
         # snapshot each key's oracle sha AT VERIFICATION TIME: the index
         # refresh after the next driver round stamps newly-green keys from
         # this file instead of the then-current SQL, so an oracle edit made
