@@ -105,7 +105,13 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
               "preference", "curriculum", "weaklabel",
               # --- round 6 ---
               "substrings", "pquant", "shards", "dataops", "retrieval",
-              "epochs", "ivm", "features", "calibration", "graphs", "kmv"):
+              "epochs", "ivm", "features", "calibration", "graphs", "kmv",
+              # --- round 6, built this round (planner: scale advisors;
+              # lshscale: the banding study) — registered same-round after
+              # 276/276 rehearsals at sf0.01 AND sf0.1; the never-green
+              # queue (36 r6 tier keys + triangle_count's sha re-queue +
+              # these 8) is 45 keys, inside the ~50-entry driver window
+              "planner", "lshscale"):
     try:
         import importlib as _importlib
 
@@ -116,11 +122,11 @@ for _name in ("reports", "tokenizer", "privacy", "bitext", "safety",
 
 
 # Registration-deferred tiers: complete QuerySpec surfaces held out of
-# _MODULES until their driver-verification backlog slot opens. All eleven
-# r4/r5 tiers registered in round 6; `planner` (scale-planning advisors,
-# built r6) queues for the r7 window. To register, move the name into the
-# loop above (the module needs a `queries()` function → {key: QuerySpec}).
-_DEFERRED_MODULE_NAMES: tuple[str, ...] = ("planner", "lshscale")
+# _MODULES until their driver-verification backlog slot opens. Currently
+# empty — all nineteen r4-r6 tiers are registered. To defer a future
+# tier, add its module name here (the module needs a `queries()` function
+# returning {key: QuerySpec}).
+_DEFERRED_MODULE_NAMES: tuple[str, ...] = ()
 
 
 def deferred_modules() -> list:

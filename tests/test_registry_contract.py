@@ -103,28 +103,24 @@ def test_no_oracle_emits_hugeint(sf_dir):
 
 
 def test_r6_registration_landed():
-    """The round-6 registration: all eleven former deferred tiers are in
-    the registry proper (268 keys), each spec complete, and the deferred
-    list is empty. Ordering assertions are artifact-state-agnostic (the
-    r5 lesson: a hard-coded 'key X is unverified' flips the moment the
-    next CORRECTNESS file lands) — they derive from
-    driver_verified_keys() live."""
+    """The round-6 registrations: the eleven r4/r5 deferred tiers plus the
+    two tiers built this round (planner, lshscale) are all in the registry
+    proper (276 keys), each spec complete, and the deferred list is empty.
+    Ordering assertions are artifact-state-agnostic (the r5 lesson: a
+    hard-coded 'key X is unverified' flips the moment the next CORRECTNESS
+    file lands) — they derive from driver_verified_keys() live."""
     from banking_etl_pipeline_spark.registry import deferred_queries
     from banking_etl_pipeline_spark.spec import QuerySpec
 
     merged = all_queries()
-    assert len(merged) == 268
-    # the only deferred tier is the r6-built planner (queues for r7)
-    assert set(deferred_queries()) == {
-        "shuffle_partition_plan", "broadcast_plan", "salting_plan",
-        "partition_skew_report", "lsh_candidate_report",
-        "lsh_paramscan_report", "lsh_recall_tradeoff_report",
-        "dedup_embedding_cosine_scaled",
-    }
+    assert len(merged) == 276
+    assert deferred_queries() == {}
     for key in ("substring_dup_coverage", "pq_encode", "shard_assignment",
                 "dataset_diff", "retrieval_ndcg", "epoch_shuffle_heads",
                 "ivm_join_delta", "target_encoding_oof", "ece_report",
-                "bfs_layers", "kmv_jaccard_report"):
+                "bfs_layers", "kmv_jaccard_report",
+                "shuffle_partition_plan", "lsh_candidate_report",
+                "lsh_paramscan_report", "dedup_embedding_cosine_scaled"):
         assert key in merged, f"tier key {key!r} missing from the registry"
         spec = merged[key]
         assert isinstance(spec, QuerySpec) and callable(spec.build), key
