@@ -478,8 +478,33 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup (exact pair scan at test scale)
+# embedding-cosine near-dup (corpus-derived band geometry)
 # ---------------------------------------------------------------------------
+
+# Band width derives from corpus size so the candidate budget stays LINEAR
+# in N (the semdedup_prune precedent, r6 VERDICT item 1): expected bucket
+# size per band is N/2^band_bits, so picking the smallest band_bits with
+# 2^band_bits * DEDUP_TARGET_BUCKET >= N pins buckets at ~DEDUP_TARGET_BUCKET
+# rows and the per-band candidate budget at ~N*DEDUP_TARGET_BUCKET/2
+# regardless of scale — measured at sf1: 47 M candidate pairs (band_bits=6,
+# 29x runtime blowup) -> ~3 M (band_bits=10). Both engines compute the
+# derivation from the data itself (Spark: a cached 1-row count; DuckDB: an
+# integer MIN-over-range scalar subquery — no float log2, so the boundary
+# is bit-exact cross-engine). At the driver-tested SFs (<= 2000 vectors)
+# this resolves to the historical band_bits=6 — same geometry, same output.
+DEDUP_TARGET_BUCKET = 32
+DEDUP_MAX_BAND_BITS = 24  # 16 bands x 24 bits covers N up to 2^24*32 ~ 537 M
+
+
+def dedup_band_bits(n: int) -> int:
+    """Smallest band width (>= the base BAND_BITS=6) whose expected bucket
+    size at corpus size n is <= DEDUP_TARGET_BUCKET."""
+    from .similarity import BAND_BITS
+
+    for b in range(BAND_BITS, DEDUP_MAX_BAND_BITS + 1):
+        if (1 << b) * DEDUP_TARGET_BUCKET >= n:
+            return b
+    return DEDUP_MAX_BAND_BITS
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,17 +513,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     `a.vec_id < b.vec_id` form planned as a BroadcastNestedLoopJoin, O(n²)
     at any scale).
 
-    Candidates come from a self-equi-join of `similarity.lsh_bands` on
-    (band, signature) — the same md5-derived hyperplanes the ANN path and
-    its DuckDB oracle replay, so the candidate set (and therefore the
-    output) is deterministic and oracle-checked end-to-end. Each surviving
-    candidate pays one exact cosine; recall is probabilistic per banding
-    theory (raise BAND_BITS with corpus size to shrink buckets, add bands
-    to recover recall) while precision is exact — every emitted pair truly
-    clears COSINE_DUP_THRESHOLD."""
-    from .similarity import lsh_bands_cached
+    Candidates come from a self-equi-join of sign-LSH band signatures on
+    (band, signature) — the same md5-derived hyperplane family the ANN path
+    and its DuckDB oracle replay, so the candidate set (and therefore the
+    output) is deterministic and oracle-checked end-to-end. Band width is
+    corpus-derived (`dedup_band_bits`, r7: the r6-measured quadratic cliff
+    fix) so the candidate budget stays linear in N; at the base geometry
+    the band table delegates to the shared `similarity.lsh_bands_cached`
+    materialization. Each surviving candidate pays one exact cosine; recall
+    is probabilistic per banding theory while precision is exact — every
+    emitted pair truly clears COSINE_DUP_THRESHOLD."""
+    from .lshscale import _bands_for
+    from .similarity import N_BANDS as EMB_BANDS
+    from ..session import session_scalar
 
-    bands = lsh_bands_cached(spark, sf_dir)
+    n = session_scalar(
+        spark, f"embeddings_count:{sf_dir}",
+        lambda: table(spark, sf_dir, "embeddings").count(),
+    )
+    bands = _bands_for(spark, sf_dir, EMB_BANDS, dedup_band_bits(n))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -533,25 +566,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_embedding_cosine_sql() -> str:
     # mirror of similarity.ANN_LSH_SQL's plane/signature pipeline, with an
-    # a.vec_id < b.vec_id self-join instead of the query-probe join
-    from .similarity import BAND_BITS, EMBED_DIM, N_BANDS, _SQL_PLANE
+    # a.vec_id < b.vec_id self-join instead of the query-probe join, and the
+    # band width derived from COUNT(embeddings) by the same integer formula
+    # as dedup_band_bits (MIN over the bit range — no float log2, so the
+    # threshold boundaries are bit-exact cross-engine). `e` and `sigs` are
+    # consumed more than once -> MATERIALIZED (the sf1 CTE-re-execution
+    # lesson from triangle_count, SCALE.md).
+    from .similarity import BAND_BITS, N_BANDS, _SQL_PLANE
 
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ),
-planes AS (
-  SELECT p, {_SQL_PLANE} AS pv FROM range({N_BANDS * BAND_BITS}) t(p)
+params AS (
+  SELECT COALESCE((
+    SELECT MIN(b) FROM range({BAND_BITS}, {DEDUP_MAX_BAND_BITS + 1}) t(b)
+    WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) * {DEDUP_TARGET_BUCKET}
+            >= (SELECT COUNT(*) FROM embeddings)
+  ), {DEDUP_MAX_BAND_BITS}) AS bb
+),
+planes AS MATERIALIZED (
+  SELECT p, {_SQL_PLANE} AS pv
+  FROM range({N_BANDS * DEDUP_MAX_BAND_BITS}) t(p)
+  WHERE p < {N_BANDS} * (SELECT bb FROM params)
 ),
 bits AS (
-  SELECT e.vec_id, CAST(p // {BAND_BITS} AS INTEGER) AS band,
+  SELECT e.vec_id, CAST(p // pr.bb AS INTEGER) AS band,
          CASE WHEN list_dot_product(e.v, planes.pv) >= 0
-              THEN 1 << CAST(p % {BAND_BITS} AS INTEGER) ELSE 0 END AS bit
-  FROM e CROSS JOIN planes
+              THEN 1 << CAST(p % pr.bb AS INTEGER) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes CROSS JOIN params pr
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT vec_id, band, CAST(SUM(bit) AS INTEGER) AS sig
   FROM bits GROUP BY vec_id, band
 ),

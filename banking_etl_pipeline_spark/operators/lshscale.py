@@ -1,15 +1,16 @@
-"""Banding-parameter scaling study over `embeddings` (REGISTRATION
-DEFERRED — add "lshscale" to the registration loop in registry.py once a
-driver-verification slot opens).
+"""Banding-parameter scaling study over `embeddings` (REGISTERED in
+round 6 — all three keys are in registry.py and driver-green).
 
 Round 6 measured the quadratic LSH candidate cliff (SCALE.md: 469 k
-candidate pairs at N=2 k → 47 M at N=20 k with the registered
-BAND_BITS=6 geometry — dedup_embedding_cosine's 29× sf1 blowup). The
-documented mitigation is "raise BAND_BITS with corpus size"; this tier
-turns that sentence into measured, oracle-checked operators WITHOUT
-touching the registered geometry (the base constants feed every
-ANN/retrieval/bitext oracle — changing them mid-window would
-sha-invalidate driver-green keys; new keys carry the study instead):
+candidate pairs at N=2 k → 47 M at N=20 k with the fixed BAND_BITS=6
+geometry — dedup_embedding_cosine's 29× sf1 blowup). This tier turned
+the documented mitigation ("raise BAND_BITS with corpus size") into
+measured, oracle-checked operators; round 7 then closed the loop by
+making the registered detector itself corpus-derived
+(`dedup.dedup_band_bits` — the geometry picked FROM this study's data).
+The base (16, 6) constants in operators/similarity.py still anchor the
+ANN/retrieval/bitext probe-join oracles, which are |probes|×N and have
+no quadratic path:
 
 - lsh_paramscan_report: for each candidate geometry (n_bands,
   band_bits) — total buckets, hottest bucket, and the exact candidate-
@@ -69,8 +70,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bands_for(spark: SparkSession, sf_dir: str,
                n_bands: int, band_bits: int) -> DataFrame:
     """(vec_id, band, sig) for one geometry; session-persisted per
-    (sf_dir, geometry) — the paramscan, recall, and scaled-dedup consumers
-    share one materialization, same pattern as similarity.lsh_bands_cached."""
+    (sf_dir, geometry) — the paramscan, recall, scaled-dedup, and (r7)
+    base-dedup consumers share one materialization. The base (16, 6)
+    geometry delegates to `similarity.lsh_bands_cached` — the identical
+    relation by construction (same hyperplane family, same packing) — so
+    a session never holds two persisted copies of it (ADVICE r6)."""
+    from .similarity import BAND_BITS as BASE_BITS
+    from .similarity import N_BANDS as BASE_BANDS
+    from .similarity import lsh_bands_cached
+
+    if (n_bands, band_bits) == (BASE_BANDS, BASE_BITS):
+        return lsh_bands_cached(spark, sf_dir)
 
     def build() -> DataFrame:
         e = _corpus(spark, sf_dir)
@@ -243,38 +253,49 @@ def lsh_recall_tradeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("band_bits", "n_bands")
 
 
+def _sql_cand_cte(n_bands: int, band_bits: int) -> str:
+    """Named MATERIALIZED CTEs for one geometry: sigs (referenced twice by
+    its cand join) and the distinct probe-candidate set (referenced twice —
+    budget count + truth join). Hoisting these replaced the r6 form that
+    inlined the full sigs pipeline four times per geometry, including
+    inside a per-truth-row correlated EXISTS — the same DuckDB
+    CTE-re-execution class that spilled the triangle_count oracle at sf1
+    (VERDICT r6 item 3 / ADVICE r6)."""
+    g = f"{n_bands}x{band_bits}"
+    return f"""
+sigs_{g} AS MATERIALIZED {_sql_sigs(n_bands, band_bits)},
+cand_{g} AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs_{g} a JOIN sigs_{g} b
+    ON a.band = b.band AND a.sig = b.sig
+   AND a.vec_id < {PROBE_IDS} AND a.vec_id < b.vec_id
+)"""
+
+
 def _sql_recall_one(n_bands: int, band_bits: int) -> str:
+    # n_caught via an inner join: both cand and truth are DISTINCT pair
+    # sets, so the join count equals the semi-join count — no correlated
+    # EXISTS, one hash join per geometry.
+    g = f"{n_bands}x{band_bits}"
     return f"""
 SELECT {n_bands} AS n_bands, {band_bits} AS band_bits,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
-          SELECT DISTINCT a.vec_a, b.vec_id AS vec_b
-          FROM (SELECT vec_id AS vec_a, band, sig
-                FROM {_sql_sigs(n_bands, band_bits)}
-                WHERE vec_id < {PROBE_IDS}) a
-          JOIN {_sql_sigs(n_bands, band_bits)} b
-            ON a.band = b.band AND a.sig = b.sig AND a.vec_a < b.vec_id
-       )) AS probe_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{g}) AS probe_candidates,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
-        WHERE EXISTS (
-          SELECT 1 FROM (
-            SELECT vec_id AS vec_a, band, sig
-            FROM {_sql_sigs(n_bands, band_bits)}
-            WHERE vec_id < {PROBE_IDS}) a
-          JOIN {_sql_sigs(n_bands, band_bits)} b
-            ON a.band = b.band AND a.sig = b.sig AND a.vec_a < b.vec_id
-          WHERE a.vec_a = t.vec_a AND b.vec_id = t.vec_b
-       )) AS n_caught"""
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM truth t JOIN cand_{g} c
+          ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b) AS n_caught"""
 
 
 LSH_RECALL_TRADEOFF_REPORT_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ec AS (
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ec AS MATERIALIZED (
   SELECT vec_id, v,
          sqrt(list_dot_product(v, v)) AS nrm
   FROM e
 ),
-truth AS (SELECT vec_a, vec_b FROM {_SQL_TRUTH} t),
+truth AS MATERIALIZED (SELECT vec_a, vec_b FROM {_SQL_TRUTH} t),
+{",".join(_sql_cand_cte(nb, bb) for nb, bb in CONFIGS)},
 raw AS (
 {" UNION ALL ".join(_sql_recall_one(nb, bb) for nb, bb in CONFIGS)}
 )

@@ -1,5 +1,5 @@
-"""Scale-planning advisors (REGISTRATION DEFERRED — add "planner" to the
-registration loop in registry.py once a driver-verification slot opens).
+"""Scale-planning advisors (REGISTERED in round 6 — all five keys are in
+registry.py and driver-green).
 
 The engine's 100 TB posture is configuration: shuffle-partition counts
 sized so partitions fit executor memory, dim tables broadcast below

@@ -48,14 +48,19 @@ KEYED = {
     "embeddings": ["vec_id"],
 }
 
-# key column → the table whose PK defines its offset stride (FKs must use
-# the PARENT table's stride or replica-local joins break)
-STRIDE_OF = {
-    "c_custkey": "customer", "s_suppkey": "supplier",
-    "p_partkey": "part", "o_orderkey": "orders", "o_custkey": "customer",
-    "l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier",
-    "event_id": "events", "user_id": "events",
-    "doc_id": "documents", "vec_id": "embeddings",
+# key column → its id DOMAIN (FK columns share the parent PK's domain so
+# replica-local joins stay consistent). The stride of a domain is computed
+# from the domain's own values — max(col)+1 over every member column — not
+# from the host table's PK: events.user_id is its own domain, and reusing
+# the event_id stride would silently overlap replica user_id ranges if
+# max(user_id) ever exceeded max(event_id) (ADVICE r6).
+DOMAIN_OF = {
+    "c_custkey": "custkey", "o_custkey": "custkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+    "p_partkey": "partkey", "l_partkey": "partkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "event_id": "eventid", "user_id": "userid",
+    "doc_id": "docid", "vec_id": "vecid",
 }
 
 
@@ -66,10 +71,12 @@ def main() -> None:
 
     strides: dict[str, int] = {}
     for table, keys in KEYED.items():
-        pk = keys[0]
-        strides[table] = con.execute(
-            f"SELECT max({pk}) + 1 FROM '{SRC}/{table}.parquet'"
-        ).fetchone()[0]
+        for col in keys:
+            dom = DOMAIN_OF[col]
+            mx = con.execute(
+                f"SELECT max({col}) + 1 FROM '{SRC}/{table}.parquet'"
+            ).fetchone()[0]
+            strides[dom] = max(strides.get(dom, 0), mx)
 
     for table in DIMS:
         con.execute(
@@ -83,7 +90,7 @@ def main() -> None:
         exprs = []
         for c in cols:
             if c in keys:
-                stride = strides[STRIDE_OF[c]]
+                stride = strides[DOMAIN_OF[c]]
                 exprs.append(f"{c} + r.i * {stride} AS {c}")
             elif table == "documents" and c == "text":
                 # replica 0 keeps the original text bit-for-bit; others get

@@ -56,6 +56,13 @@ def main() -> int:
     partial = False
     if only:
         wanted = {k.strip() for k in only.split(",") if k.strip()}
+        unknown = wanted - set(q)
+        if unknown:
+            # a typo'd key list must not print "0/0 ok" and exit 0 — that
+            # reads as success on a debug/resume run (ADVICE r6)
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY_KEYS names unknown keys: {sorted(unknown)}"
+            )
         q = {k: v for k, v in q.items() if k in wanted}
         partial = True
     from pyspark.sql.types import ArrayType, MapType

@@ -1,0 +1,127 @@
+"""Corpus-derived LSH band geometry for dedup_embedding_cosine (r7 — the
+r6-measured quadratic-candidate fix): the integer band_bits derivation is
+pinned at its boundaries, proven bit-identical to the oracle's
+MIN-over-range SQL across a value sweep, and the detector is oracle-parity
+checked on a corpus large enough to actually trigger a wider-than-base
+geometry (the path sf0.001/sf0.01 never exercises).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from banking_etl_pipeline_spark.catalog import table
+from banking_etl_pipeline_spark.operators.dedup import (
+    DEDUP_MAX_BAND_BITS,
+    DEDUP_TARGET_BUCKET,
+    QUERIES as DEDUP_QUERIES,
+    dedup_band_bits,
+)
+from tests.oracle_compare import compare, duck_connection
+
+
+def test_dedup_band_bits_boundaries():
+    base = 6  # similarity.BAND_BITS
+    assert dedup_band_bits(0) == base
+    assert dedup_band_bits(1) == base
+    # exact fit at the base geometry: 2^6 * 32 = 2048
+    assert dedup_band_bits((1 << base) * DEDUP_TARGET_BUCKET) == base
+    assert dedup_band_bits((1 << base) * DEDUP_TARGET_BUCKET + 1) == base + 1
+    # the measured SFs: 500/2000 stay on the historical geometry, 20k moves
+    assert dedup_band_bits(500) == base
+    assert dedup_band_bits(2000) == base
+    assert dedup_band_bits(20000) == 10
+    top = (1 << DEDUP_MAX_BAND_BITS) * DEDUP_TARGET_BUCKET
+    assert dedup_band_bits(top) == DEDUP_MAX_BAND_BITS
+    # beyond the cap the derivation saturates instead of failing
+    assert dedup_band_bits(top * 100) == DEDUP_MAX_BAND_BITS
+
+
+def test_dedup_band_bits_sql_parity():
+    """The oracle derives bb with the same integer formula — check the SQL
+    fragment (COUNT replaced by a literal) against the Python derivation
+    across boundaries, so a drift in either side fails loudly."""
+    con = duckdb.connect()
+    sweep = [0, 1, 31, 32, 2047, 2048, 2049, 4096, 4097, 20000,
+             (1 << 24) * DEDUP_TARGET_BUCKET,
+             (1 << 24) * DEDUP_TARGET_BUCKET + 1]
+    for n in sweep:
+        bb = con.execute(f"""
+            SELECT COALESCE((
+              SELECT MIN(b) FROM range(6, {DEDUP_MAX_BAND_BITS + 1}) t(b)
+              WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                      * {DEDUP_TARGET_BUCKET} >= {n}
+            ), {DEDUP_MAX_BAND_BITS})
+        """).fetchone()[0]
+        assert bb == dedup_band_bits(n), (n, bb, dedup_band_bits(n))
+
+
+@pytest.fixture(scope="module")
+def wide_corpus_dir(spark, sf_dir, tmp_path_factory):
+    """An embeddings corpus of ~2500 vectors (5x the sf0.001 set, each
+    replica's first component nudged) — past the 2048 boundary, so the
+    derived geometry is band_bits=7, not the base 6."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+
+    def nudge(delta):
+        return lambda x, j: F.when(
+            j == 0, (x + F.lit(delta)).cast("float")
+        ).otherwise(x)
+
+    parts = [e]
+    for i in range(1, 5):
+        parts.append(
+            e.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                F.transform("embedding", nudge(0.001 * i)).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    d = str(tmp_path_factory.mktemp("wide_corpus"))
+    out.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_detector_widens_geometry_past_boundary(spark, wide_corpus_dir):
+    from banking_etl_pipeline_spark.operators.lshscale import _bands_for
+    from banking_etl_pipeline_spark.operators.similarity import N_BANDS
+
+    n = table(spark, wide_corpus_dir, "embeddings").count()
+    assert n > 2048 and dedup_band_bits(n) == 7
+    bands = _bands_for(spark, wide_corpus_dir, N_BANDS, 7)
+    # 7-bit signatures actually occupy the wider space
+    assert bands.agg({"sig": "max"}).first()[0] >= 64
+
+
+def test_dedup_embedding_cosine_oracle_parity_at_wide_geometry(
+    spark, wide_corpus_dir
+):
+    """Cross-engine parity on the band_bits=7 path — the derivation, plane
+    indexing, and packing all agree between Spark and DuckDB at a geometry
+    the driver's fixed SFs never reach."""
+    spec = DEDUP_QUERIES["dedup_embedding_cosine"]
+    # the oracle touches only `embeddings`; the fixture dir has no other
+    # tables, so register just that view (duck_connection wants all ten)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{wide_corpus_dir}/embeddings.parquet/*.parquet'"
+    )
+    res = compare(spec.build(spark, wide_corpus_dir), con, spec.oracle)
+    assert res["row_count_match"] and res["columns_match"] \
+        and res["values_match"], res["detail"]
+    # the planted replicas are near-identical -> the detector must catch
+    # the cross-replica pairs for vec 0 (cosine ~ 1 >> 0.35)
+    got = {(r["vec_a"], r["vec_b"])
+           for r in spec.build(spark, wide_corpus_dir).collect()}
+    n0 = table(spark, wide_corpus_dir, "embeddings").count() // 5
+    assert (0, n0) in got
