@@ -27,9 +27,9 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scratch", "sf1")
+# replica count R -> sf = 0.1*R under .scratch/sf{0.1*R:g}; default 10 -> sf1
+DST_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
 # fixed-size dimensions: straight copy (TPC-H: 5 regions / 25 nations at
 # every sf)
@@ -66,6 +66,7 @@ DOMAIN_OF = {
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    DST = os.path.join(DST_ROOT, f"sf{0.1 * replicas:g}")
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 
