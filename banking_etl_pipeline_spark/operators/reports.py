@@ -135,6 +135,17 @@ GROUP BY b.source
 
 # (bands, rows_per_band) layouts of the SAME 16-hash signature.
 SWEEP_CONFIGS = [(16, 1), (8, 2), (4, 4)]
+# The sweep evaluates precision/recall on pairs ANCHORED at this probe set
+# (doc_id < SWEEP_PROBE_DOCS — the lowest ids, so `doc_a < doc_b` keeps
+# every probe-anchored pair exactly once). Un-anchored, the (16, 1) layout
+# is quadratic: single-hash buckets collect every doc sharing a frequent
+# min-shingle, so buckets grow ∝N and candidates ∝N² (measured on the r7
+# sf1 corpus: 174 k pairs at 5 k docs → 20.6 M at 50 k, 118× on 10× rows —
+# the same cliff class dedup_embedding_cosine had pre-r7). Probe-anchoring
+# bounds every config at |probes|·bucket ≈ linear in N, the
+# lsh_recall_tradeoff_report stance; precision/recall on the fixed probe
+# sample estimate the corpus-wide ratios.
+SWEEP_PROBE_DOCS = 200
 
 
 def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,10 +170,13 @@ def minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact df-capped Jaccard truth. This is the measurement
     that picks N_BANDS before anyone trusts the sketch on a real corpus;
     like ann_recall_report/minhash_eval, the evaluation itself is
-    oracle-checked."""
+    oracle-checked. Pairs are probe-anchored (doc_a < SWEEP_PROBE_DOCS,
+    see the constant's note) so every config's candidate join is linear
+    in corpus size."""
     sigs = _sigs_cached(spark, sf_dir)
     truth = (
         shingle_pair_commons_cached(spark, sf_dir)
+        .filter(F.col("doc_a") < SWEEP_PROBE_DOCS)
         .select(
             "doc_a", "doc_b",
             (F.col("common").cast("double")
@@ -196,7 +210,8 @@ def minhash_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])).alias("bk"),
         ).select("doc_id", "sig", F.col("bk.band").alias("band"),
                  F.col("bk.bh").alias("bh"))
-        a, b_ = bands_df.alias("a"), bands_df.alias("b")
+        a = bands_df.filter(F.col("doc_id") < SWEEP_PROBE_DOCS).alias("a")
+        b_ = bands_df.alias("b")
         cand = (
             a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
@@ -257,6 +272,7 @@ sel_{bands}_{rows} AS (
            a.sig AS sig_a, b.sig AS sig_b
     FROM bl a JOIN bl b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE a.doc_id < {SWEEP_PROBE_DOCS}
   ),
   pred AS (
     SELECT doc_a, doc_b, 1 AS p FROM cand
@@ -287,6 +303,7 @@ truth AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS common
       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.doc_id < {{probe_docs}}
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b
@@ -307,7 +324,8 @@ def _sweep_sql() -> str:
     )
 
     truth = _SWEEP_TRUTH_SQL.format(
-        shingles=_SQL_SHINGLES.format(x="text"), max_df=JACCARD_MAX_DF
+        shingles=_SQL_SHINGLES.format(x="text"), max_df=JACCARD_MAX_DF,
+        probe_docs=SWEEP_PROBE_DOCS,
     )
     configs = ",".join(_sweep_config_sql(b, r) for b, r in SWEEP_CONFIGS)
     selects = " UNION ALL ".join(
