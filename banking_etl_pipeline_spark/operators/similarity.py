@@ -915,19 +915,88 @@ SEMDEDUP_THRESHOLD = 0.35
 # to MIN_CELLS=16 — the same quantizer as before.
 SEMDEDUP_TARGET_CELL = 512
 SEMDEDUP_MIN_CELLS = 16
+# Above this many fine cells the quantizer goes TWO-LEVEL (r7 — the sf3
+# measurement found the flat assignment's N×C cosine pass is the next
+# quadratic path: C ∝ N makes assignment N²/512; at N=60 k that is 7 M
+# cosines and growing with the square). Two-level: vectors pick a coarse
+# group first (N×√C), then rank only that group's fine cells (N×~√C) —
+# O(N^1.5/√512) total, the standard IVF shape. C1 = 1 below the threshold
+# degenerates to EXACTLY the flat ranking, so small corpora keep the
+# historical assignment bit-for-bit.
+SEMDEDUP_FLAT_MAX_CELLS = 64
 
 
 def semdedup_n_cells(n: int) -> int:
     return max(SEMDEDUP_MIN_CELLS, n // SEMDEDUP_TARGET_CELL)
 
 
+def semdedup_coarse_cells(c: int) -> int:
+    """Coarse-group count: 1 (flat) up to SEMDEDUP_FLAT_MAX_CELLS fine
+    cells, else ceil(sqrt(c)) by pure-integer search (mirrored in the
+    oracle as MIN-over-range — no float sqrt boundary risk)."""
+    if c <= SEMDEDUP_FLAT_MAX_CELLS:
+        return 1
+    k = 2
+    while k * k < c:
+        k += 1
+    return k
+
+
+def _two_level_cells(e: DataFrame, centroids: DataFrame,
+                     n_coarse: int) -> DataFrame:
+    """Two-level IVF assignment: fine cells and vectors each pick their
+    nearest coarse group (coarse = the first n_coarse quantizer vectors),
+    then a vector ranks only its group's fine cells — N·2√C cosines
+    instead of the flat N·C. With n_coarse == 1 this reduces to the flat
+    global ranking (every fine cell and vector in the one group); the
+    caller dispatches to _ivf_assignments there for the cheaper plan."""
+    coarse = (
+        centroids.filter(
+            F.col("cell_id") < N_QUERIES + n_coarse)
+        .select(F.col("cell_id").alias("g_id"), F.col("cv").alias("gv"),
+                F.col("cn").alias("gn"))
+    )
+    gsim = dot(F.col("cv"), F.col("gv")) / (F.col("cn") * F.col("gn"))
+    wg = Window.partitionBy("cell_id").orderBy(F.desc("gs"), F.asc("g_id"))
+    fine2coarse = (
+        centroids.crossJoin(F.broadcast(coarse))
+        .select("cell_id", "g_id", gsim.alias("gs"))
+        .withColumn("grn", F.row_number().over(wg))
+        .filter(F.col("grn") <= 1)
+        .select("cell_id", "g_id")
+    )
+    vsim = dot(F.col("v"), F.col("gv")) / (F.col("nrm") * F.col("gn"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("vs"), F.asc("g_id"))
+    vec2coarse = (
+        e.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "g_id", vsim.alias("vs"))
+        .withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") <= 1)
+        .select("vec_id", "g_id")
+    )
+    fsim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    wf = Window.partitionBy("vec_id").orderBy(F.desc("fs"), F.asc("cell_id"))
+    return (
+        e.join(vec2coarse, "vec_id")
+        .join(F.broadcast(fine2coarse), "g_id")
+        .join(F.broadcast(centroids), "cell_id")
+        .select("vec_id", "cell_id", fsim.alias("fs"))
+        .withColumn("crn", F.row_number().over(wf))
+        .filter(F.col("crn") <= 1)
+        .select("vec_id", "cell_id")
+    )
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (public recipe: cluster the
     embedding space, deduplicate only WITHIN clusters): every vector is
-    assigned to its nearest coarse cell (the ann_ivf quantizer — here
-    deterministic so the oracle replays it; k-means|| at scale), and the
-    cosine pair scan runs per cell — cost n²/C for balanced cells instead
-    of n², and C grows with the corpus. A vector is dropped when a
+    assigned to a quantizer cell (deterministic so the oracle replays it;
+    k-means|| at scale), and the cosine pair scan runs per cell — cost
+    n²/C for balanced cells instead of n², and C grows with the corpus.
+    The assignment itself is two-level past SEMDEDUP_FLAT_MAX_CELLS fine
+    cells (see the constant's note — flat N×C assignment is N²/512 once
+    C ∝ N; measured 5.1× on 3× rows at sf3), identical to the flat
+    ranking below it. A vector is dropped when a
     LOWER-id vector in its cell clears the similarity threshold, so
     survivors are unique, deterministic, and independent of evaluation
     order. Output: per vector, its cell, cell size, number of lower-id
@@ -940,12 +1009,24 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"embeddings_count:{sf_dir}",
         lambda: table(spark, sf_dir, "embeddings").count(),
     ))
+    n_coarse = semdedup_coarse_cells(n_cells)
     centroids = (
         e.filter(F.col("vec_id").between(N_QUERIES, N_QUERIES + n_cells - 1))
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
                 F.col("nrm").alias("cn"))
     )
-    cells = _ivf_assignments(e, centroids, 1, "vec_id")
+    # two-level IVF assignment (degenerates to the flat global ranking when
+    # n_coarse == 1): fine cells and vectors each pick their nearest coarse
+    # group, then a vector ranks only its group's fine cells — N·2√C
+    # cosines instead of the flat N·C (quadratic once C ∝ N). The flat
+    # branch keeps the direct single-ranking plan: with one coarse group
+    # the two-level machinery returns the identical assignment (so the
+    # unified oracle SQL covers both) but pays two pointless extra window
+    # passes (~0.7 s at sf0.1).
+    if n_coarse == 1:
+        cells = _ivf_assignments(e, centroids, 1, "vec_id")
+    else:
+        cells = _two_level_cells(e, centroids, n_coarse)
     members = cells.join(e, "vec_id")
     sizes = members.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("cell_size")
@@ -985,7 +1066,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_PRUNE_SQL = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
@@ -995,21 +1076,53 @@ nc AS (  -- cell count derived from corpus size, same formula as Spark side
                   CAST(COUNT(*) AS BIGINT) // {SEMDEDUP_TARGET_CELL}) AS n
   FROM embeddings
 ),
-cent AS (
+ncg AS (  -- coarse-group count: 1 (flat) small, else ceil-sqrt by integer
+          -- search — same derivation as semdedup_coarse_cells
+  SELECT CASE WHEN (SELECT n FROM nc) <= {SEMDEDUP_FLAT_MAX_CELLS} THEN 1
+         ELSE (SELECT MIN(k) FROM range(2, 2049) t(k)
+               WHERE k * k >= (SELECT n FROM nc)) END AS g
+),
+cent AS MATERIALIZED (
   SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
   WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES} + (SELECT n FROM nc) - 1
 ),
-cells AS (
+grp AS (
+  SELECT vec_id AS g_id, v AS gv, nrm AS gn FROM e
+  WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES} + (SELECT g FROM ncg) - 1
+),
+f2c AS MATERIALIZED (  -- fine cell -> coarse group (C x sqrt(C), tiny)
+  SELECT cell_id, g_id FROM (
+    SELECT cent.cell_id, grp.g_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY cent.cell_id
+             ORDER BY list_dot_product(cent.cv, grp.gv) / (cent.cn * grp.gn)
+                        DESC, grp.g_id) AS grn
+    FROM cent, grp
+  ) WHERE grn <= 1
+),
+v2c AS MATERIALIZED (  -- vector -> coarse group (N x sqrt(C))
+  SELECT vec_id, g_id FROM (
+    SELECT e.vec_id, grp.g_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, grp.gv) / (e.nrm * grp.gn) DESC,
+                      grp.g_id) AS vrn
+    FROM e, grp
+  ) WHERE vrn <= 1
+),
+cells AS (  -- vector ranks only its coarse group's fine cells
   SELECT vec_id, cell_id FROM (
     SELECT e.vec_id, cent.cell_id,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn) DESC,
                       cent.cell_id) AS crn
-    FROM e, cent
+    FROM e JOIN v2c USING (vec_id)
+           JOIN f2c ON f2c.g_id = v2c.g_id
+           JOIN cent ON cent.cell_id = f2c.cell_id
   ) WHERE crn <= 1
 ),
-members AS (
+members AS MATERIALIZED (
   SELECT c.cell_id, e.vec_id, e.v, e.nrm FROM cells c JOIN e USING (vec_id)
 ),
 sizes AS (

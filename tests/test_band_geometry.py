@@ -125,3 +125,96 @@ def test_dedup_embedding_cosine_oracle_parity_at_wide_geometry(
            for r in spec.build(spark, wide_corpus_dir).collect()}
     n0 = table(spark, wide_corpus_dir, "embeddings").count() // 5
     assert (0, n0) in got
+
+
+# ---------------------------------------------------------------------------
+# semdedup two-level quantizer (r7 — the sf3-measured N×C assignment fix)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_coarse_cells_boundaries():
+    from banking_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_FLAT_MAX_CELLS,
+        semdedup_coarse_cells,
+    )
+
+    assert semdedup_coarse_cells(16) == 1
+    assert semdedup_coarse_cells(SEMDEDUP_FLAT_MAX_CELLS) == 1
+    # first two-level corpus: ceil(sqrt(65)) = 9
+    assert semdedup_coarse_cells(SEMDEDUP_FLAT_MAX_CELLS + 1) == 9
+    assert semdedup_coarse_cells(117) == 11   # the sf3 corpus (N=60k)
+    assert semdedup_coarse_cells(121) == 11   # perfect square
+    assert semdedup_coarse_cells(122) == 12
+
+
+def test_semdedup_coarse_cells_sql_parity():
+    """The oracle derives the coarse count with the same integer search —
+    sweep the CASE/MIN-over-range fragment against the Python formula."""
+    from banking_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_FLAT_MAX_CELLS,
+        semdedup_coarse_cells,
+    )
+
+    con = duckdb.connect()
+    for c in [16, 63, 64, 65, 100, 117, 121, 122, 4096, 4097, 2047 * 2048]:
+        g = con.execute(f"""
+            SELECT CASE WHEN {c} <= {SEMDEDUP_FLAT_MAX_CELLS} THEN 1
+                   ELSE (SELECT MIN(k) FROM range(2, 2049) t(k)
+                         WHERE k * k >= {c}) END
+        """).fetchone()[0]
+        assert g == semdedup_coarse_cells(c), (c, g, semdedup_coarse_cells(c))
+
+
+@pytest.fixture(scope="module")
+def twolevel_corpus_dir(spark, sf_dir, tmp_path_factory):
+    """~34k vectors (68 nudged replicas of the sf0.001 set) — past the
+    64-fine-cell boundary (34000 // 512 = 66 cells -> 9 coarse groups), so
+    semdedup takes the two-level assignment path no fixed test SF reaches."""
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+
+    def nudge(delta):
+        return lambda x, j: F.when(
+            j == 0, (x + F.lit(delta)).cast("float")
+        ).otherwise(x)
+
+    parts = [e]
+    for i in range(1, 68):
+        parts.append(
+            e.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                F.transform("embedding", nudge(0.002 * i)).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    d = str(tmp_path_factory.mktemp("twolevel_corpus"))
+    out.coalesce(2).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_semdedup_two_level_oracle_parity(spark, twolevel_corpus_dir):
+    """Cross-engine parity on the two-level quantizer path: coarse-count
+    derivation, fine->coarse and vector->coarse rankings, and the
+    restricted fine ranking all agree between Spark and DuckDB."""
+    from banking_etl_pipeline_spark.operators.similarity import (
+        QUERIES as SIM_QUERIES,
+        semdedup_coarse_cells,
+        semdedup_n_cells,
+    )
+
+    n = table(spark, twolevel_corpus_dir, "embeddings").count()
+    assert semdedup_coarse_cells(semdedup_n_cells(n)) > 1
+    spec = SIM_QUERIES["semdedup_prune"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{twolevel_corpus_dir}/embeddings.parquet/*.parquet'"
+    )
+    res = compare(spec.build(spark, twolevel_corpus_dir), con, spec.oracle)
+    assert res["row_count_match"] and res["columns_match"] \
+        and res["values_match"], res["detail"]
