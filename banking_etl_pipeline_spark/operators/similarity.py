@@ -912,9 +912,20 @@ SEMDEDUP_THRESHOLD = 0.35
 # cost is linear in n. Both engines compute C from the data itself (Spark: a
 # 1-row count; DuckDB: a scalar subquery), so the oracle is parameterized
 # identically by construction. At the test SFs (≤2000 vectors) this resolves
-# to MIN_CELLS=16 — the same quantizer as before.
-SEMDEDUP_TARGET_CELL = 512
+# to MIN_CELLS=16 — the same quantizer as before. TARGET_CELL was cut
+# 512 -> 256 in r8: the sf3 wall (42.1 s) was the per-cell pair scan whose
+# per-row constant is ~TARGET_CELL/2 cosines; halving it trades ~128
+# pair-scan cosines/row for ~+9 assignment cosines/row (C doubles, so the
+# two-level N·2√C term grows √2×) — a measured net win at sf1/sf3.
+SEMDEDUP_TARGET_CELL = 256
 SEMDEDUP_MIN_CELLS = 16
+# Ceiling on the coarse-group search (r8, ADVICE): the oracle's
+# MIN-over-range subquery scans range(2, CAP+1) and would yield NULL past
+# CAP² fine cells (~2.1 B vectors at CAP=2048) while the unbounded Python
+# search kept going — a silent cross-engine divergence. Both sides now
+# saturate at the SAME cap (Python stops the linear search, SQL wraps the
+# subquery in COALESCE(..., CAP)), mirroring the dedup_band_bits pattern.
+SEMDEDUP_COARSE_CAP = 2048
 # Above this many fine cells the quantizer goes TWO-LEVEL (r7 — the sf3
 # measurement found the flat assignment's N×C cosine pass is the next
 # quadratic path: C ∝ N makes assignment N²/512; at N=60 k that is 7 M
@@ -933,11 +944,12 @@ def semdedup_n_cells(n: int) -> int:
 def semdedup_coarse_cells(c: int) -> int:
     """Coarse-group count: 1 (flat) up to SEMDEDUP_FLAT_MAX_CELLS fine
     cells, else ceil(sqrt(c)) by pure-integer search (mirrored in the
-    oracle as MIN-over-range — no float sqrt boundary risk)."""
+    oracle as MIN-over-range — no float sqrt boundary risk), saturating
+    at SEMDEDUP_COARSE_CAP exactly where the oracle's range() ends."""
     if c <= SEMDEDUP_FLAT_MAX_CELLS:
         return 1
     k = 2
-    while k * k < c:
+    while k * k < c and k < SEMDEDUP_COARSE_CAP:
         k += 1
     return k
 
@@ -958,8 +970,19 @@ def _two_level_cells(e: DataFrame, centroids: DataFrame,
     )
     gsim = dot(F.col("cv"), F.col("gv")) / (F.col("cn") * F.col("gn"))
     wg = Window.partitionBy("cell_id").orderBy(F.desc("gs"), F.asc("g_id"))
-    fine2coarse = (
-        centroids.crossJoin(F.broadcast(coarse))
+    # Coarse cells map to THEMSELVES by construction (r8, ADVICE): ranking
+    # a coarse cell against the groups can, under float rounding on
+    # near-parallel vectors, tie cosine(g, h) with cosine(g, g)=1 for a
+    # lower-id group h and steal cell g — leaving group g empty, so any
+    # vector whose v2c pick is g would join zero fine cells and silently
+    # vanish from the output. Pinning the identity rows guarantees every
+    # coarse group owns at least one fine cell; only the non-coarse cells
+    # are ranked. The oracle's f2c CTE mirrors the same UNION ALL split.
+    fine2coarse = coarse.select(
+        F.col("g_id").alias("cell_id"), "g_id"
+    ).unionByName(
+        centroids.filter(F.col("cell_id") >= N_QUERIES + n_coarse)
+        .crossJoin(F.broadcast(coarse))
         .select("cell_id", "g_id", gsim.alias("gs"))
         .withColumn("grn", F.row_number().over(wg))
         .filter(F.col("grn") <= 1)
@@ -1077,10 +1100,14 @@ nc AS (  -- cell count derived from corpus size, same formula as Spark side
   FROM embeddings
 ),
 ncg AS (  -- coarse-group count: 1 (flat) small, else ceil-sqrt by integer
-          -- search — same derivation as semdedup_coarse_cells
+          -- search — same derivation as semdedup_coarse_cells, saturating
+          -- at the shared cap instead of NULLing past range() (r8 ADVICE)
   SELECT CASE WHEN (SELECT n FROM nc) <= {SEMDEDUP_FLAT_MAX_CELLS} THEN 1
-         ELSE (SELECT MIN(k) FROM range(2, 2049) t(k)
-               WHERE k * k >= (SELECT n FROM nc)) END AS g
+         ELSE COALESCE(
+               (SELECT MIN(k)
+                FROM range(2, {SEMDEDUP_COARSE_CAP} + 1) t(k)
+                WHERE k * k >= (SELECT n FROM nc)),
+               {SEMDEDUP_COARSE_CAP}) END AS g
 ),
 cent AS MATERIALIZED (
   SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
@@ -1090,7 +1117,10 @@ grp AS (
   SELECT vec_id AS g_id, v AS gv, nrm AS gn FROM e
   WHERE vec_id BETWEEN {N_QUERIES} AND {N_QUERIES} + (SELECT g FROM ncg) - 1
 ),
-f2c AS MATERIALIZED (  -- fine cell -> coarse group (C x sqrt(C), tiny)
+f2c AS MATERIALIZED (  -- fine cell -> coarse group (C x sqrt(C), tiny);
+                       -- coarse cells self-map so no group is empty (r8)
+  SELECT g_id AS cell_id, g_id FROM grp
+  UNION ALL
   SELECT cell_id, g_id FROM (
     SELECT cent.cell_id, grp.g_id,
            ROW_NUMBER() OVER (
@@ -1098,6 +1128,7 @@ f2c AS MATERIALIZED (  -- fine cell -> coarse group (C x sqrt(C), tiny)
              ORDER BY list_dot_product(cent.cv, grp.gv) / (cent.cn * grp.gn)
                         DESC, grp.g_id) AS grn
     FROM cent, grp
+    WHERE cent.cell_id >= {N_QUERIES} + (SELECT g FROM ncg)
   ) WHERE grn <= 1
 ),
 v2c AS MATERIALIZED (  -- vector -> coarse group (N x sqrt(C))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -313,16 +314,26 @@ def main() -> None:
     # absorb datasource-initialization cost (~2.5 s measured)
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
+    # Isolated/median mode (r7 VERDICT item 3 — attribution noise in the
+    # single-run driver total masqueraded as a +17% regression): scripts/
+    # bench_isolated.py re-runs each slow key in a FRESH process with
+    # RUNS=3 STAT=median so the committed headline is a median-of-N of
+    # per-key isolated figures, not one shared-session pass. Defaults
+    # (2, min) keep the driver-invoked behavior identical.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    stat_name = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
+    stat = {"min": min, "median": statistics.median}[stat_name]
+
     timings: dict[str, float] = {}
     for key in keys:
         df = queries[key].build(spark, sf_dir)
         df.count()  # warm the IO path / JIT once per query plan
         runs = []
-        for _ in range(2):  # min-of-2: steady-state time, not GC/JIT noise
+        for _ in range(n_runs):  # steady-state time, not GC/JIT noise
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[key] = round(min(runs), 3)
+        timings[key] = round(stat(runs), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the TAIL of stdout; r1's single long line was

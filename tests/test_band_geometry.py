@@ -12,6 +12,8 @@ import os
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from banking_etl_pipeline_spark.catalog import table
 from banking_etl_pipeline_spark.operators.dedup import (
@@ -38,6 +40,54 @@ def test_dedup_band_bits_boundaries():
     assert dedup_band_bits(top) == DEDUP_MAX_BAND_BITS
     # beyond the cap the derivation saturates instead of failing
     assert dedup_band_bits(top * 100) == DEDUP_MAX_BAND_BITS
+
+
+@given(st.integers(min_value=0, max_value=(1 << 26) * DEDUP_TARGET_BUCKET))
+@settings(max_examples=300, deadline=None)
+def test_dedup_band_bits_properties(n):
+    """The sawtooth bound as a property over ARBITRARY corpus sizes (r7
+    VERDICT item 5), not just the hand-picked boundary cases: between the
+    base-geometry floor and the saturation cap, expected bucket size
+    n / 2^bb stays in (TARGET/2, TARGET] — the candidate budget per band
+    is therefore Θ(n·TARGET) with a bounded power-of-two sawtooth on the
+    constant, never growth in n — and the derivation is monotone
+    non-decreasing, so growing a corpus can only widen the geometry."""
+    from banking_etl_pipeline_spark.operators.similarity import BAND_BITS
+
+    bb = dedup_band_bits(n)
+    assert BAND_BITS <= bb <= DEDUP_MAX_BAND_BITS
+    if n <= (1 << DEDUP_MAX_BAND_BITS) * DEDUP_TARGET_BUCKET:
+        # below saturation the bucket target is honored...
+        assert n <= (1 << bb) * DEDUP_TARGET_BUCKET
+        if bb > BAND_BITS:
+            # ...and bb is MINIMAL: one bit narrower would overfill, i.e.
+            # expected bucket size exceeds TARGET/2 — the sawtooth floor
+            assert n > (1 << (bb - 1)) * DEDUP_TARGET_BUCKET
+    # local monotonicity at every generated point implies global
+    assert dedup_band_bits(n + 1) >= bb
+
+
+@given(st.integers(min_value=0, max_value=2048 * 2048 * 4))
+@settings(max_examples=300, deadline=None)
+def test_semdedup_coarse_cells_properties(c):
+    """Same class of pin for the semdedup coarse-group search: strictly
+    inside the flat floor / cap ceiling, g = ceil(sqrt(c)) exactly (so the
+    two-level assignment cost is N·2√C by construction), and the search is
+    monotone non-decreasing with saturation at the shared cap."""
+    from banking_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_COARSE_CAP,
+        SEMDEDUP_FLAT_MAX_CELLS,
+        semdedup_coarse_cells,
+    )
+
+    g = semdedup_coarse_cells(c)
+    if c <= SEMDEDUP_FLAT_MAX_CELLS:
+        assert g == 1
+    elif c <= SEMDEDUP_COARSE_CAP ** 2:
+        assert g * g >= c and (g - 1) * (g - 1) < c  # exact ceil-sqrt
+    else:
+        assert g == SEMDEDUP_COARSE_CAP
+    assert semdedup_coarse_cells(c + 1) >= g
 
 
 def test_dedup_band_bits_sql_parity():
@@ -138,29 +188,45 @@ def test_semdedup_coarse_cells_boundaries():
         semdedup_coarse_cells,
     )
 
+    from banking_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_COARSE_CAP,
+    )
+
     assert semdedup_coarse_cells(16) == 1
     assert semdedup_coarse_cells(SEMDEDUP_FLAT_MAX_CELLS) == 1
     # first two-level corpus: ceil(sqrt(65)) = 9
     assert semdedup_coarse_cells(SEMDEDUP_FLAT_MAX_CELLS + 1) == 9
-    assert semdedup_coarse_cells(117) == 11   # the sf3 corpus (N=60k)
+    assert semdedup_coarse_cells(117) == 11
     assert semdedup_coarse_cells(121) == 11   # perfect square
     assert semdedup_coarse_cells(122) == 12
+    assert semdedup_coarse_cells(234) == 16   # the sf3 corpus (N=60k @ 256)
+    # saturation: past CAP^2 fine cells both engines stop at CAP (r8)
+    assert semdedup_coarse_cells(SEMDEDUP_COARSE_CAP ** 2) \
+        == SEMDEDUP_COARSE_CAP
+    assert semdedup_coarse_cells(SEMDEDUP_COARSE_CAP ** 2 + 1) \
+        == SEMDEDUP_COARSE_CAP
+    assert semdedup_coarse_cells(SEMDEDUP_COARSE_CAP ** 2 * 50) \
+        == SEMDEDUP_COARSE_CAP
 
 
 def test_semdedup_coarse_cells_sql_parity():
     """The oracle derives the coarse count with the same integer search —
     sweep the CASE/MIN-over-range fragment against the Python formula."""
     from banking_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_COARSE_CAP,
         SEMDEDUP_FLAT_MAX_CELLS,
         semdedup_coarse_cells,
     )
 
     con = duckdb.connect()
-    for c in [16, 63, 64, 65, 100, 117, 121, 122, 4096, 4097, 2047 * 2048]:
+    cap = SEMDEDUP_COARSE_CAP
+    for c in [16, 63, 64, 65, 100, 117, 121, 122, 234, 4096, 4097,
+              (cap - 1) * cap, cap * cap, cap * cap + 1, cap * cap * 7]:
         g = con.execute(f"""
             SELECT CASE WHEN {c} <= {SEMDEDUP_FLAT_MAX_CELLS} THEN 1
-                   ELSE (SELECT MIN(k) FROM range(2, 2049) t(k)
-                         WHERE k * k >= {c}) END
+                   ELSE COALESCE((SELECT MIN(k)
+                                  FROM range(2, {cap} + 1) t(k)
+                                  WHERE k * k >= {c}), {cap}) END
         """).fetchone()[0]
         assert g == semdedup_coarse_cells(c), (c, g, semdedup_coarse_cells(c))
 
@@ -168,7 +234,7 @@ def test_semdedup_coarse_cells_sql_parity():
 @pytest.fixture(scope="module")
 def twolevel_corpus_dir(spark, sf_dir, tmp_path_factory):
     """~34k vectors (68 nudged replicas of the sf0.001 set) — past the
-    64-fine-cell boundary (34000 // 512 = 66 cells -> 9 coarse groups), so
+    64-fine-cell boundary (34000 // 256 = 132 cells -> 12 coarse groups), so
     semdedup takes the two-level assignment path no fixed test SF reaches."""
     from pyspark.sql import functions as F
 
@@ -218,3 +284,8 @@ def test_semdedup_two_level_oracle_parity(spark, twolevel_corpus_dir):
     res = compare(spec.build(spark, twolevel_corpus_dir), con, spec.oracle)
     assert res["row_count_match"] and res["columns_match"] \
         and res["values_match"], res["detail"]
+    # row conservation (r8, ADVICE): every input vector must appear in the
+    # output exactly once — the failure mode was a vector whose coarse
+    # group owned zero fine cells vanishing with BOTH engines agreeing, so
+    # parity alone can't catch it; the f2c self-map rows guarantee it.
+    assert spec.build(spark, twolevel_corpus_dir).count() == n
