@@ -35,8 +35,10 @@ with avgK the mean cosine of the K nearest candidates.  Four operators:
   translation-data curator tracks per crawl.
 
 Scale: the candidate stage is the banded equi-join on (band, sig) — never
-a cross join; at 100 TB you raise BAND_BITS with corpus size to bound
-bucket width (similarity.py geometry note).  The doc⋈embedding lang
+a cross join — and the band width is CORPUS-DERIVED (r8: `dedup_band_bits`,
+shared with dedup_embedding_cosine's session-persisted band table), so
+bucket width is pinned at ~32 rows and the candidate volume stays linear
+in N at any corpus size.  The doc⋈embedding lang
 annotation is an equi-join on the id, and the margin stage is two
 row_number windows + two bounded hash aggregates over the candidate set.
 The scored candidate table is session-persisted (`bitext_scored`), so the
@@ -54,7 +56,8 @@ from ..functions.numeric import ftrunc, sql_ftrunc
 from ..functions.vectors import dot
 from ..session import session_persist
 from ..spec import QuerySpec
-from .similarity import _SQL_PLANE, BAND_BITS, N_BANDS, _corpus, lsh_bands_cached
+from .dedup import DEDUP_MAX_BAND_BITS, DEDUP_TARGET_BUCKET
+from .similarity import _SQL_PLANE, BAND_BITS, N_BANDS, _corpus
 
 SRC_LANG = "en"
 K_MARGIN = 4     # neighborhood size for the margin normalizer
@@ -63,9 +66,29 @@ MARGIN_T = 1.2   # acceptance threshold (≈ p98 of the candidate margins)
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate cross-lingual pairs with fixed-point cosines:
-    (src_id en-doc, tgt_id non-en doc, tgt_lang, c6 = floor(cos·1e6))."""
+    (src_id en-doc, tgt_id non-en doc, tgt_lang, c6 = floor(cos·1e6)).
+
+    Band geometry is CORPUS-DERIVED (r8 — the sf3 instrument caught this
+    family as the next fixed-geometry quadratic: at N=60 k the base 6-bit
+    bands hold ~940 rows each, so the src×tgt bucket join emits ∝N²/64
+    candidates — three of the four keys spilled >35 GB and timed out at
+    sf3). Same derivation as dedup_embedding_cosine (`dedup_band_bits`:
+    smallest bb with 2^bb·32 ≥ N, integer search mirrored in the oracle's
+    params CTE), and the band table is the SAME session-persisted
+    `_bands_for` materialization the dedup detector rides, so the two
+    families share one signature index per session. At ≤2048 vectors this
+    resolves to the historical bb=6 — identical candidates, identical
+    output."""
+    from .dedup import dedup_band_bits
+    from .lshscale import _bands_for
+    from ..session import session_scalar
+
+    n = session_scalar(
+        spark, f"embeddings_count:{sf_dir}",
+        lambda: table(spark, sf_dir, "embeddings").count(),
+    )
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    bl = lsh_bands_cached(spark, sf_dir).join(
+    bl = _bands_for(spark, sf_dir, N_BANDS, dedup_band_bits(n)).join(
         d, F.col("vec_id") == F.col("doc_id")
     ).select("vec_id", "band", "sig", "lang")
     src = bl.filter(F.col("lang") == SRC_LANG).select(
@@ -203,21 +226,31 @@ def bitext_lang_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SQL_BASE = f"""
-e AS (
+e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ),
-planes AS (
-  SELECT p, {_SQL_PLANE} AS pv FROM range({N_BANDS * BAND_BITS}) t(p)
+params AS (  -- corpus-derived band width, same integer search as
+             -- dedup_band_bits (r8: the fixed 6-bit geometry was ∝N²/64)
+  SELECT COALESCE((
+    SELECT MIN(b) FROM range({BAND_BITS}, {DEDUP_MAX_BAND_BITS + 1}) t(b)
+    WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) * {DEDUP_TARGET_BUCKET}
+            >= (SELECT COUNT(*) FROM embeddings)
+  ), {DEDUP_MAX_BAND_BITS}) AS bb
+),
+planes AS MATERIALIZED (
+  SELECT p, {_SQL_PLANE} AS pv
+  FROM range({N_BANDS * DEDUP_MAX_BAND_BITS}) t(p)
+  WHERE p < {N_BANDS} * (SELECT bb FROM params)
 ),
 bits AS (
-  SELECT e.vec_id, CAST(p // {BAND_BITS} AS INTEGER) AS band,
+  SELECT e.vec_id, CAST(p // pr.bb AS INTEGER) AS band,
          CASE WHEN list_dot_product(e.v, planes.pv) >= 0
-              THEN 1 << CAST(p % {BAND_BITS} AS INTEGER) ELSE 0 END AS bit
-  FROM e CROSS JOIN planes
+              THEN 1 << CAST(p % pr.bb AS INTEGER) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes CROSS JOIN params pr
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT vec_id, band, CAST(SUM(bit) AS INTEGER) AS sig
   FROM bits GROUP BY vec_id, band
 ),
