@@ -306,14 +306,35 @@ ORDER BY band_bits, n_bands
 """
 
 
+def scaled_band_bits(n: int) -> int:
+    """Band width for the scaled detector: the SAME corpus-derived search
+    as `dedup.dedup_band_bits` but FLOORED at SCALED_BITS=12 — this key's
+    point is the finer production geometry, so it never narrows below it,
+    and past 2^12·32 = 131 k vectors it keeps growing so buckets stay
+    pinned at ~32 rows (r8: the fixed 12-bit geometry spilled ~45 GB at
+    sf10's 200 k vectors — ~49-row buckets × 24 bands of candidates into
+    one DISTINCT sort). Identical output for every corpus ≤131 k vectors,
+    which covers all driver SFs and the sf1/sf3 scale sets."""
+    from .dedup import dedup_band_bits
+
+    return max(SCALED_BITS, dedup_band_bits(n))
+
+
 def dedup_embedding_cosine_scaled(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """dedup_embedding_cosine's semantics at the scaled geometry and the
     realistic 0.9 near-dup bar: banded equi-join candidates, exact cosine
     verification. Empty on the clean corpus (true negative); finds planted
     near-identical pairs on duplicated corpora at ~1/40th the base
-    candidate budget (SCALE.md sf1 measurement)."""
-    bands = _bands_for(spark, sf_dir, SCALED_BANDS, SCALED_BITS)
+    candidate budget (SCALE.md sf1 measurement). Band width is corpus-
+    derived above 131 k vectors (`scaled_band_bits`, r8)."""
+    from ..session import session_scalar
+
+    n = session_scalar(
+        spark, f"embeddings_count:{sf_dir}",
+        lambda: table(spark, sf_dir, "embeddings").count(),
+    )
+    bands = _bands_for(spark, sf_dir, SCALED_BANDS, scaled_band_bits(n))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -340,25 +361,58 @@ def dedup_embedding_cosine_scaled(spark: SparkSession,
     )
 
 
-DEDUP_EMBEDDING_COSINE_SCALED_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ec AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+def _dedup_embedding_cosine_scaled_sql() -> str:
+    # params-derived mirror of scaled_band_bits: the integer search starts
+    # AT the SCALED_BITS floor, so MIN >= 12 by construction and the
+    # COALESCE saturates at the same cap as the Python side (the dedup /
+    # semdedup precedent). sigs is consumed twice (a and b) -> MATERIALIZED.
+    from .dedup import DEDUP_MAX_BAND_BITS, DEDUP_TARGET_BUCKET
+
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+params AS (
+  SELECT COALESCE((
+    SELECT MIN(b) FROM range({SCALED_BITS}, {DEDUP_MAX_BAND_BITS + 1}) t(b)
+    WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) * {DEDUP_TARGET_BUCKET}
+            >= (SELECT COUNT(*) FROM embeddings)
+  ), {DEDUP_MAX_BAND_BITS}) AS bb
+),
+planes AS MATERIALIZED (
+  SELECT p, {_SQL_PLANE} AS pv
+  FROM range({SCALED_BANDS * DEDUP_MAX_BAND_BITS}) t(p)
+  WHERE p < {SCALED_BANDS} * (SELECT bb FROM params)
+),
+bits AS (
+  SELECT e.vec_id, CAST(p // pr.bb AS INTEGER) AS band,
+         CASE WHEN list_dot_product(e.v, planes.pv) >= 0
+              THEN 1 << CAST(p % pr.bb AS INTEGER) ELSE 0 END AS bit
+  FROM e CROSS JOIN planes CROSS JOIN params pr
+),
+sigs AS MATERIALIZED (
+  SELECT vec_id, band, CAST(SUM(bit) AS INTEGER) AS sig
+  FROM bits GROUP BY vec_id, band
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM {_sql_sigs(SCALED_BANDS, SCALED_BITS)} a
-  JOIN {_sql_sigs(SCALED_BANDS, SCALED_BITS)} b
+  FROM sigs a JOIN sigs b
     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
 SELECT cand.vec_a, cand.vec_b,
        list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine_sim
 FROM cand
-JOIN ec ea ON ea.vec_id = cand.vec_a
-JOIN ec eb ON eb.vec_id = cand.vec_b
+JOIN e ea ON ea.vec_id = cand.vec_a
+JOIN e eb ON eb.vec_id = cand.vec_b
 WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
         >= {DUP_THRESHOLD_SCALED}
 """
+
+
+DEDUP_EMBEDDING_COSINE_SCALED_SQL = _dedup_embedding_cosine_scaled_sql()
 
 
 def queries() -> dict[str, QuerySpec]:

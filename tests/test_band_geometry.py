@@ -177,6 +177,42 @@ def test_dedup_embedding_cosine_oracle_parity_at_wide_geometry(
     assert (0, n0) in got
 
 
+def test_scaled_band_bits_boundaries_and_sql_parity():
+    """The scaled detector's geometry (r8 — the fixed 24x12 banding
+    spilled ~45 GB at sf10's 200 k vectors): same derivation as
+    dedup_band_bits but floored at SCALED_BITS, so every corpus up to
+    2^12*32 = 131 k vectors keeps the historical 12-bit geometry
+    bit-for-bit, and larger corpora pin buckets at ~32 rows. The SQL
+    fragment starts its MIN-over-range AT the floor, which the sweep
+    proves equivalent to the Python max()."""
+    from banking_etl_pipeline_spark.operators.lshscale import (
+        SCALED_BITS,
+        scaled_band_bits,
+    )
+
+    top = (1 << 12) * DEDUP_TARGET_BUCKET  # 131072
+    assert scaled_band_bits(0) == SCALED_BITS
+    assert scaled_band_bits(2000) == SCALED_BITS      # every driver SF
+    assert scaled_band_bits(60000) == SCALED_BITS     # sf3
+    assert scaled_band_bits(top) == SCALED_BITS
+    assert scaled_band_bits(top + 1) == SCALED_BITS + 1
+    assert scaled_band_bits(200000) == 13             # sf10
+    cap = (1 << DEDUP_MAX_BAND_BITS) * DEDUP_TARGET_BUCKET
+    assert scaled_band_bits(cap * 100) == DEDUP_MAX_BAND_BITS
+
+    con = duckdb.connect()
+    for n in [0, 2000, 60000, top, top + 1, 200000, cap, cap + 1]:
+        bb = con.execute(f"""
+            SELECT COALESCE((
+              SELECT MIN(b)
+              FROM range({SCALED_BITS}, {DEDUP_MAX_BAND_BITS + 1}) t(b)
+              WHERE (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                      * {DEDUP_TARGET_BUCKET} >= {n}
+            ), {DEDUP_MAX_BAND_BITS})
+        """).fetchone()[0]
+        assert bb == scaled_band_bits(n), (n, bb, scaled_band_bits(n))
+
+
 # ---------------------------------------------------------------------------
 # semdedup two-level quantizer (r7 — the sf3-measured N×C assignment fix)
 # ---------------------------------------------------------------------------
