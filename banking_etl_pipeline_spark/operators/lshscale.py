@@ -7,10 +7,13 @@ geometry — dedup_embedding_cosine's 29× sf1 blowup). This tier turned
 the documented mitigation ("raise BAND_BITS with corpus size") into
 measured, oracle-checked operators; round 7 then closed the loop by
 making the registered detector itself corpus-derived
-(`dedup.dedup_band_bits` — the geometry picked FROM this study's data).
-The base (16, 6) constants in operators/similarity.py still anchor the
-ANN/retrieval/bitext probe-join oracles, which are |probes|×N and have
-no quadratic path:
+(`dedup.dedup_band_bits` — the geometry picked FROM this study's data),
+and round 8 extended that derivation to the bitext family and to
+`dedup_embedding_cosine_scaled` (`scaled_band_bits`: the same integer
+search floored at SCALED_BITS=12, so the finer production geometry is
+kept up to 131 k vectors and widens beyond). The base (16, 6) constants
+in operators/similarity.py still anchor the ANN/retrieval probe-join
+oracles, which are |probes|×N and have no quadratic path:
 
 - lsh_paramscan_report: for each candidate geometry (n_bands,
   band_bits) — total buckets, hottest bucket, and the exact candidate-
@@ -23,8 +26,8 @@ no quadratic path:
   corpus (true-pair cosine ≈ 0.35 → P[sign-bit match] ≈ 0.61) the
   curve quantifies exactly how fast low-threshold recall decays with
   band width — the data an operator needs to pick the r7 geometry.
-- dedup_embedding_cosine_scaled: the scaled geometry (24 bands × 12
-  bits, 4096 buckets/band) end-to-end at the corpus-realistic
+- dedup_embedding_cosine_scaled: the scaled geometry (24 bands ×
+  `scaled_band_bits(N)` ≥ 12 bits) end-to-end at the corpus-realistic
   near-dup threshold 0.9, where sign-agreement is ~0.86/bit and
   banding theory gives ≳98 % recall. On the clean test corpus the
   correct output is EMPTY (there are no 0.9-cosine pairs — a true
@@ -229,14 +232,25 @@ def lsh_recall_tradeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", F.col("vec_id").alias("vec_b"))
             .distinct()
         )
-        caught = truth.join(cand, ["vec_a", "vec_b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_caught")
+        # budget + caught in ONE scan of the cand subtree: referencing cand
+        # twice (count agg + semi-join) re-executed the broadcast join +
+        # distinct per consumer — the oracle hoists cand_{g} MATERIALIZED,
+        # this is the Spark-side equivalent (r8 VERDICT item 3: this key's
+        # isolated cost was ~2× the paramscan's). truth is persisted,
+        # distinct pairs, and probe-bounded -> broadcast left join keeps
+        # count(*) == |cand| while flagging the true pairs.
+        stats = (
+            cand.join(
+                F.broadcast(truth.withColumn("is_true", F.lit(1))),
+                ["vec_a", "vec_b"], "left",
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("probe_candidates"),
+                F.coalesce(F.sum("is_true"), F.lit(0)).cast("long")
+                .alias("n_caught"),
+            )
         )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("probe_candidates"))
         parts.append(
-            n_cand.crossJoin(F.broadcast(caught))
-            .crossJoin(F.broadcast(n_true))
+            stats.crossJoin(F.broadcast(n_true))
             .selectExpr(
                 f"{n_bands} AS n_bands",
                 f"{band_bits} AS band_bits",

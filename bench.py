@@ -300,7 +300,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="bench")
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cpu-count default — the
+    # SCALE.md partition-scaling experiments (does a ratio flatten when
+    # shuffle partitions scale with data, as they would on a cluster?)
+    sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    spark = get_spark(app_name="bench",
+                      shuffle_partitions=int(sp) if sp else None)
     queries = all_queries()
     keys = [k for k in HEADLINE if k in queries]
     # scale runs (scripts/make_scale_data.py → .scratch/sf1) bench a subset:
@@ -322,7 +327,12 @@ def main() -> None:
     # (2, min) keep the driver-invoked behavior identical.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     stat_name = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
-    stat = {"min": min, "median": statistics.median}[stat_name]
+    stats = {"min": min, "median": statistics.median}
+    if stat_name not in stats:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_STAT={stat_name!r} is not supported; "
+            f"allowed values: {sorted(stats)}")
+    stat = stats[stat_name]
 
     timings: dict[str, float] = {}
     for key in keys:

@@ -95,8 +95,13 @@ def main() -> None:
 
     headline = round(
         sum(isolated.get(k, v) for k, v in full.items()), 3)
-    sf = float(os.path.basename(args.sf_dir.rstrip("/"))
-               .replace("sf", "") or 0.1)
+    base = os.path.basename(args.sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "") or 0.1)
+    except ValueError:
+        # custom scratch dirs ("scale10x") don't encode an sf — keep the
+        # raw name rather than crashing after all measurement completed
+        sf = base
     artifact = {
         "metric": "isolated_headline_total_sec",
         "value": headline,
