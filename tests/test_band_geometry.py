@@ -213,6 +213,31 @@ def test_scaled_band_bits_boundaries_and_sql_parity():
         assert bb == scaled_band_bits(n), (n, bb, scaled_band_bits(n))
 
 
+@given(st.integers(min_value=0, max_value=(1 << 26) * DEDUP_TARGET_BUCKET))
+@settings(max_examples=300, deadline=None)
+def test_scaled_band_bits_properties(n):
+    """scaled_band_bits over ARBITRARY corpus sizes: always the max of the
+    base derivation and the SCALED_BITS floor — so it inherits
+    dedup_band_bits' bucket bound wherever the floor is not binding, is
+    monotone non-decreasing, and never narrows below the production
+    geometry (the invariant the r8 fix relies on for ≤131 k-vector
+    bit-identity)."""
+    from banking_etl_pipeline_spark.operators.dedup import dedup_band_bits
+    from banking_etl_pipeline_spark.operators.lshscale import (
+        SCALED_BITS,
+        scaled_band_bits,
+    )
+
+    bb = scaled_band_bits(n)
+    assert bb == max(SCALED_BITS, dedup_band_bits(n))
+    assert SCALED_BITS <= bb <= DEDUP_MAX_BAND_BITS
+    assert scaled_band_bits(n + 1) >= bb  # monotone
+    # floor not binding and below saturation -> bucket target honored
+    if bb > SCALED_BITS and n <= (1 << DEDUP_MAX_BAND_BITS) * DEDUP_TARGET_BUCKET:
+        assert (1 << bb) * DEDUP_TARGET_BUCKET >= n
+        assert (1 << (bb - 1)) * DEDUP_TARGET_BUCKET < n
+
+
 # ---------------------------------------------------------------------------
 # semdedup two-level quantizer (r7 — the sf3-measured N×C assignment fix)
 # ---------------------------------------------------------------------------
