@@ -525,8 +525,16 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
+    # broadcast the STATS side explicitly: it is bounded by the distinct-
+    # bigram count (Zipf: the head covers nearly all occurrences; cap or
+    # sample it past ~1e6 entries at real scale), while `big` is the
+    # exploded corpus (∝ total tokens). Left unhinted, Catalyst's
+    # post-explode size estimate of `big` can sit under the broadcast
+    # threshold and it builds-left — broadcasting the FACT side, which
+    # inverts scaling locally (r9 SCALE.md: lm_score 8.0 s at sf3 vs
+    # 4.5 s at sf10) and would OOM a real cluster at 100 TB.
     scored = (
-        big.join(stats.select("bg", "c2", "c1"), "bg")
+        big.join(F.broadcast(stats.select("bg", "c2", "c1")), "bg")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

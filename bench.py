@@ -299,7 +299,14 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "") or 0.1)
+    except ValueError:
+        # experiment dirs ("sf3rg") don't encode a numeric sf — report the
+        # raw name instead of refusing to bench (same class as the
+        # bench_isolated ADVICE fix)
+        sf = base
     # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cpu-count default — the
     # SCALE.md partition-scaling experiments (does a ratio flatten when
     # shuffle partitions scale with data, as they would on a cluster?)

@@ -242,6 +242,72 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, queries):
         assert "CartesianProduct" not in p, f"{key}: CartesianProduct in plan"
 
 
+def _unbounded_broadcast_explodes(plan: str) -> list[str]:
+    """BroadcastExchange subtrees whose content is an UN-bounded explode:
+    a Generate reached from the exchange with no aggregate / persisted
+    relation between them, whose own input hits a FileScan before any
+    bounding node. Catalyst keeps the pre-explode size estimate for
+    Generate, so such a relation can slip under the broadcast threshold
+    locally while being ∝ corpus size — the r9 lm_score pathology
+    (the exploded bigram FACT side broadcast at sf3: 8.0 s → 1.77 s once
+    the stats side carried the explicit broadcast; at 100 TB it would
+    have OOMed the build side). Bounded shapes stay legal: explode over
+    an aggregate (quantile targets, salt fan-out), over a Range dimension
+    (range_join's bands), or over a persisted relation whose stats are
+    accurate (the minhash band index)."""
+    bounding = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                "InMemoryRelation", "InMemoryTableScan", "Range ")
+    lines = [ln for ln in plan.splitlines() if not ln.startswith("(")]
+
+    def indent_of(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*"))
+
+    bad = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        base = indent_of(ln)
+        blocked = False
+        for j in range(i + 1, len(lines)):
+            ln2 = lines[j]
+            if ln2.strip() and indent_of(ln2) <= base:
+                break
+            if any(b in ln2 for b in bounding):
+                blocked = True
+            if "Generate" in ln2 and not blocked:
+                # bounded iff the explode's input is bounded: walk below
+                # the Generate — a bounding node before any FileScan means
+                # the exploded relation cannot scale with the corpus
+                gind = indent_of(ln2)
+                verdict = "filescan"
+                for ln3 in lines[j + 1:]:
+                    if ln3.strip() and indent_of(ln3) <= gind:
+                        break
+                    if any(b in ln3 for b in bounding):
+                        verdict = "bounded"
+                        break
+                    if "FileScan" in ln3:
+                        break
+                if verdict == "filescan":
+                    bad.append(ln2.strip()[:100])
+                blocked = True  # deeper Generates judged on their own input
+        # (multiple exchanges per plan each get their own walk)
+    return bad
+
+
+def test_no_unbounded_broadcast_explode_anywhere(spark, sf_dir, queries):
+    """Global invariant (r9): no query may broadcast an exploded fact-side
+    relation — every BroadcastExchange containing a Generate must explode
+    over a bounded input (aggregate / Range dimension / persisted
+    relation), never directly over a table scan."""
+    for key, spec in queries.items():
+        if key.startswith("streaming_") or key == "banking_txn_pipeline":
+            continue
+        p = plan_of(spec.build(spark, sf_dir), "simple")
+        bad = _unbounded_broadcast_explodes(p)
+        assert not bad, f"{key}: broadcast over unbounded explode: {bad}"
+
+
 def test_pii_mask_shuffle_free(spark, sf_dir, queries):
     """Masking is scan→project only: no Exchange of any kind, and the md5/
     regexp expressions stay inside whole-stage codegen (no Python eval)."""
