@@ -98,6 +98,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # local sf0.1 parquet is a single file, AQE re-splits post-shuffle.
+        # openCostInBytes default 4m makes split size = max(4m, bytes/cores),
+        # which leaves most cores idle scanning mid-size (10-100 MB) tables —
+        # the r9 sf3/sf10 ladder measured the text tier 10x slower for it.
+        # 256k restores bytes/cores sizing (full fan-out on splittable files)
+        # and at cluster scale only packs small files a little tighter.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -35,6 +35,13 @@ DST_ROOT = os.path.join(
 # every sf)
 DIMS = ("region", "nation")
 
+# DuckDB's default ~122k-row groups made the r6-r8 scale sets nearly
+# unsplittable (documents: 1/2/5 row groups at sf1/sf3/sf10), so scans of
+# the text tier ran 1-5 way on a 32-core box and the measured "constants"
+# were idle cores (SCALE.md r9). 16k-row groups keep every table splittable
+# down to bytes/cores-sized partitions at all bench scales.
+ROW_GROUP_ROWS = 16384
+
 # scaling tables: key columns offset by replica * (max_key + 1) so FK
 # relationships hold within each replica and key ranges are disjoint
 KEYED = {
@@ -82,7 +89,8 @@ def main() -> None:
     for table in DIMS:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
-            f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
+            f"'{DST}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP_ROWS})")
         print(f"{table}: copied (fixed-size dimension)")
 
     for table, keys in KEYED.items():
@@ -111,7 +119,8 @@ def main() -> None:
         sql = (
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM '{SRC}/{table}.parquet', range({replicas}) r(i)) "
-            f"TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+            f"TO '{DST}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP_ROWS})")
         con.execute(sql)
         n = con.execute(
             f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
