@@ -1055,10 +1055,13 @@ _PARTSUPP_SQL = """
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped min-cost supplier per part within a region.
 
-    The correlated MIN subquery decorrelates to a per-part groupBy-min over
-    the region-filtered part-supplier relation, joined back on equality —
-    two shuffles on partkey (the min agg and the join-back share the
-    partitioning; AQE reuses the exchange). Dims broadcast; cost equality
+    The correlated MIN subquery decorrelates to ONE min() window over the
+    partkey partition + an equality filter (r9, guide §2.4 — the former
+    per-part groupBy-min joined back on equality evaluated the
+    region-filtered relation twice and its two partkey exchanges were not
+    canonically identical, so AQE could not reuse them; the window form is
+    one exchange, one evaluation, and keeps ALL tying min-cost suppliers
+    exactly like the join-back did). Dims broadcast; cost equality
     compares exact integer cents, so the argmin is deterministic.
     """
     ps = _partsupp(spark, sf_dir)
@@ -1072,16 +1075,12 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
-    best = regional.groupBy("ps_partkey").agg(
-        F.min("cost_cents").alias("best_cents")
-    )
     return (
-        regional.join(
-            best,
-            (regional.ps_partkey == best.ps_partkey)
-            & (regional.cost_cents == best.best_cents),
+        regional.withColumn(
+            "best_cents",
+            F.min("cost_cents").over(Window.partitionBy("ps_partkey")),
         )
-        .drop(best.ps_partkey)
+        .filter(F.col("cost_cents") == F.col("best_cents"))
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             "p_partkey",
@@ -1256,7 +1255,17 @@ def bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees are one aggregate over the edge list; at 100 TB each
     iteration is two shuffles on node id over an edge list that never
     grows — loop to convergence by re-running the same two-shuffle step.
-    Output: top-25 customers by received 2-hop mass."""
+    Output: top-25 customers by received 2-hop mass.
+
+    r9 restructure (guide §2.4): customer degree rides a count() window on
+    the edge list (so the edge subtree with its degree column appears ONCE
+    and its exchange is runtime-reused by both consumers) instead of a
+    separate cdeg aggregate joined back three times; supplier degree needs
+    no join at all — it IS the group count of the step-1 aggregate, and
+    the step-2 per-edge share `s_mass div sd` is constant per supplier, so
+    it is computed once per supplier and attached with one equi-join
+    rather than per edge after two joins. 5 evaluations of the edge
+    subtree → 2 (exchange-reused at runtime); 12 static exchanges → 7."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     edges = (
@@ -1266,28 +1275,27 @@ def bipartite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    cdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("cd"))
-    sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("sd"))
+    e1 = edges.withColumn(
+        "cd", F.count(F.lit(1)).over(Window.partitionBy("c"))
+    )
     # step 1: every customer splits RANK_SCALE across its suppliers.
     # Exact integer `div`, matching the oracle's `//` bit-for-bit: the
     # double form floor(x / y) drifts once the numerator outgrows ~2^45
     # (div error > 1/denominator), the ADVICE-r1 HLL pattern.
+    # sd (supplier degree) is the group count of this same aggregate.
     supplier_mass = (
-        edges.join(cdeg, "c")
-        .select("s", F.expr(f"{RANK_SCALE} div cd").alias("share"))
-        .groupBy("s")
-        .agg(F.sum("share").alias("s_mass"))
+        e1.groupBy("s")
+        .agg(F.expr(f"sum({RANK_SCALE} div cd)").alias("s_mass"),
+             F.count(F.lit(1)).alias("sd"))
     )
-    # step 2: each supplier splits its received mass back across its customers
-    customer_mass = (
-        edges.join(sdeg, "s")
-        .join(supplier_mass, "s")
-        .select("c", F.expr("s_mass div sd").alias("share"))
-        .groupBy("c")
-        .agg(F.sum("share").alias("rank_mass"))
-    )
+    # step 2: each supplier splits its received mass back across its
+    # customers — the per-edge share depends only on s, so derive it per
+    # supplier and sum it per customer after one equi-join
+    share2 = supplier_mass.select("s", F.expr("s_mass div sd").alias("share"))
     return (
-        customer_mass.join(cdeg, "c")
+        e1.join(share2, "s")
+        .groupBy("c")
+        .agg(F.sum("share").alias("rank_mass"), F.first("cd").alias("cd"))
         .orderBy(F.col("rank_mass").desc(), F.col("c").asc())
         .limit(RANK_TOP_K)
         .select(F.col("c").alias("custkey"), "rank_mass", F.col("cd").alias("degree"))
@@ -1334,16 +1342,22 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count + TakeOrdered top-20 finishes. At 100 TB: the self-join
     shuffles on orderkey (baskets co-locate), the cap bounds memory per
     key, and the count is map-side combined — the same plan FP-growth
-    preprocessing uses."""
+    preprocessing uses.
+
+    r9 (guide §2.4): the basket-size cap is a count() window on the
+    orderkey partition instead of a separate size aggregate + semi
+    join-back — the window's orderkey exchange is exactly the partitioning
+    the self-join needs, so the cap costs no extra shuffle and the deduped
+    line list is evaluated once instead of three times."""
     li = table(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        lines.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= BASKET_MAX_LINES)
-        .select("l_orderkey")
+    b = (
+        lines.withColumn(
+            "nb", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("nb") <= BASKET_MAX_LINES)
+        .select("l_orderkey", "l_partkey")
     )
-    b = lines.join(small, "l_orderkey", "semi")
     left = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
     right = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     pairs = left.join(right, "k").filter(F.col("p1") < F.col("p2"))
@@ -1568,13 +1582,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·triangles / wedges (exact integer inputs, truncated double out)."""
     li = table(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
-    small = (
-        lines.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= BASKET_MAX_LINES)
-        .select("l_orderkey")
+    # same window-based basket cap as basket_pairs (r9, guide §2.4)
+    b = (
+        lines.withColumn(
+            "nb", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("nb") <= BASKET_MAX_LINES)
+        .select("l_orderkey", "l_partkey")
     )
-    b = lines.join(small, "l_orderkey", "semi")
     left = b.select(F.col("l_orderkey").alias("k"),
                     F.col("l_partkey").alias("p1"))
     right = b.select(F.col("l_orderkey").alias("k"),

@@ -130,12 +130,17 @@ def _margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_src = Window.partitionBy("src_id", "tgt_lang").orderBy(
         F.desc("c6"), F.asc("tgt_id"))
     w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("c6"), F.asc("src_id"))
-    ranked = sc.withColumn("rs", F.row_number().over(w_src)).withColumn(
-        "rt", F.row_number().over(w_tgt))
-    ss = (ranked.filter(F.col("rs") <= K_MARGIN)
+    # each side ranks ONLY with its own window (r9: a shared `ranked` with
+    # both rank columns made ss and ts each evaluate BOTH windows — four
+    # exchange+sort passes over the candidate set for two top-K sums; the
+    # rank a side filters on never depends on the other side's window, and
+    # each window's groupBy reuses its own window exchange per guide §2.4)
+    ss = (sc.withColumn("rs", F.row_number().over(w_src))
+          .filter(F.col("rs") <= K_MARGIN)
           .groupBy("src_id", "tgt_lang")
           .agg(F.sum("c6").alias("ssum"), F.count(F.lit(1)).alias("sn")))
-    ts = (ranked.filter(F.col("rt") <= K_MARGIN)
+    ts = (sc.withColumn("rt", F.row_number().over(w_tgt))
+          .filter(F.col("rt") <= K_MARGIN)
           .groupBy("tgt_id")
           .agg(F.sum("c6").alias("tsum"), F.count(F.lit(1)).alias("tn")))
     den = F.col("ssum") * F.col("tn") + F.col("tsum") * F.col("sn")

@@ -326,55 +326,47 @@ BOILERPLATE_DF_RATIO = 0.6  # tokens present in >60% of docs are boilerplate
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip boilerplate tokens (document frequency > 60% of the corpus —
     nav bars, cookie banners, licence headers in real crawls) and emit the
-    cleaned document plus before/after counts. Token order must survive
-    the strip, so re-assembly sorts the exploded (pos, token) pairs inside
-    an array_sort before joining — NEVER a bare collect_list, whose
-    element order depends on partitioning. The df table is vocabulary-
-    sized (broadcast); the rebuild is one groupBy(doc_id). Cleaned-text
-    md5 gives downstream exact-dedup a boilerplate-insensitive key."""
+    cleaned document plus before/after counts.
+
+    The strip SET is tiny by construction (only tokens in >60% of all
+    documents qualify), so it broadcasts as ONE sorted-array row and the
+    strip itself is a per-row higher-order filter over the split token
+    array — token order survives natively (r9, guide §2.3/§2.4: the
+    former keep-set equi-join shuffled every token OCCURRENCE and
+    re-assembled documents with a collect_list + array_sort groupBy; now
+    the only occurrence-level shuffle left is the df aggregate itself).
+    Cleaned-text md5 gives downstream exact-dedup a
+    boilerplate-insensitive key."""
     d = table(spark, sf_dir, "documents").repartition(default_parallelism())
-    ex = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    df_tbl = ex.select("doc_id", "tok").distinct().groupBy("tok").agg(
+    tk = F.split(F.col("text"), " ")
+    ex = d.select("doc_id", F.explode(tk).alias("tok"))
+    df_tbl = ex.distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")
     )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    keep_toks = (
+    strip_set = (
         df_tbl.crossJoin(F.broadcast(n_docs))
         .filter(
             F.col("df").cast("double") / F.col("n_docs")
-            <= BOILERPLATE_DF_RATIO
+            > BOILERPLATE_DF_RATIO
         )
-        .select("tok")
+        .agg(F.array_sort(F.collect_list("tok")).alias("strip_toks"))
     )
-    kept = ex.join(F.broadcast(keep_toks), "tok")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                ),
-                lambda s: s.getField("tok"),
-            ),
-        ).alias("clean_text"),
-    )
-    # original token count is a per-row expression over documents — no
-    # third pass over the exploded stream
-    orig = d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    kept_arr = F.filter(
+        tk, lambda t: ~F.array_contains(F.col("strip_toks"), t)
     )
     return (
-        orig.join(rebuilt, "doc_id", "left")
+        d.crossJoin(F.broadcast(strip_set))
+        .select(
+            "doc_id",
+            F.size(tk).cast("long").alias("n_tokens"),
+            kept_arr.alias("kept"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+            F.size("kept").cast("long").alias("n_kept"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("clean_md5"),
         )
     )
 

@@ -545,9 +545,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # no repartition here (r9): it added a round-robin exchange of the full
+    # vector payload feeding straight into the verify join's own exchange /
+    # broadcast — scan fan-out is the session's openCostInBytes job, not a
+    # per-query repartition (guide §2.4: remove shuffles outright)
     e = (
         table(spark, sf_dir, "embeddings")
-        .repartition(default_parallelism())
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     )

@@ -224,12 +224,31 @@ NPROBE = 4    # cells probed per query
 
 def _ivf_assignments(e: DataFrame, centroids: DataFrame, n_best: int,
                      id_col: str) -> DataFrame:
-    """Top-`n_best` centroid cells per vector by cosine (ties → cell_id)."""
+    """Top-`n_best` centroid cells per vector by cosine (ties → cell_id).
+
+    n_best == 1 (the corpus-sized call sites) is an argmax, computed as ONE
+    min(struct(-sim, cell_id)) hash aggregate (r9, guide §2.3): map-side
+    partials shuffle ≤1 row per id per partition instead of sorting the
+    full id×cell scored stream through a rank window. Sims are never
+    NULL/NaN here (finite vectors, non-zero norms — ANSI division would
+    have raised), so struct-min ordering ≡ (sim DESC, cell_id ASC) rank 1.
+    The n_best > 1 form (query-side probes, a bounded relation) keeps the
+    rank window."""
     sim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
+    scored = (
         e.crossJoin(F.broadcast(centroids))
         .select(id_col, "cell_id", sim.alias("cell_sim"))
+    )
+    if n_best == 1:
+        return (
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct((-F.col("cell_sim")).alias("ns"),
+                                F.col("cell_id"))).alias("mn"))
+            .select(id_col, F.col("mn.cell_id").alias("cell_id"))
+        )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= n_best)
         .select(id_col, "cell_id")
@@ -411,10 +430,18 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (squared L2 via the dot-product identity), reported as a
     (label, assigned_label) confusion matrix with mean distance.
 
-    The argmin is decorrelated (groupBy-min + equality join-back, min
-    assigned label on ties) — same shape as min_cost_supplier — and the
-    centroid side is broadcast: the canonical cluster plan where the
-    only full shuffle is the per-vector min aggregate."""
+    The argmin is ONE rank-1 row_number window over the scored rows (r9,
+    guide §2.3/§2.4 — the former decorrelated groupBy-min + equality
+    join-back evaluated the N×K scored relation twice and shuffled it
+    twice; rn=1 with ordering (dist, cent_label) is the same semantics —
+    min dist, ties to the smaller label — and Spark's WindowGroupLimit
+    rewrite turns it into a partial per-partition top-1 BEFORE the
+    exchange, so the shuffle carries ≤1 row per vector per map partition.
+    Measured on this shape against both the join-back and a
+    min(struct(dist, label)) SortAggregate: window 1.19 s vs 1.58 vs
+    4.84 s at sf0.1, scripts/argmin_experiment.py) — and the centroid
+    side is broadcast: the canonical cluster plan where the only full
+    shuffle is the per-vector rank-1 window."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
@@ -437,19 +464,15 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
-    m = scored.groupBy(F.col("vec_id").alias("m_vec_id")).agg(
-        F.min("dist").alias("min_dist")
-    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cent_label"))
     best = (
-        scored.join(
-            m,
-            (F.col("vec_id") == F.col("m_vec_id"))
-            & (F.col("dist") == F.col("min_dist")),
-        )
-        .groupBy("vec_id", "label")
-        .agg(
-            F.min("cent_label").alias("assigned_label"),
-            F.min("min_dist").alias("min_dist"),
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("cent_label").alias("assigned_label"),
+            F.col("dist").alias("min_dist"),
         )
     )
     return best.groupBy("label", "assigned_label").agg(
@@ -489,7 +512,10 @@ FROM best GROUP BY label, assigned_label
 
 def _assignments(e: DataFrame) -> DataFrame:
     """(vec_id, v, assigned_label): nearest-centroid assignment — the shared
-    first half of a Lloyd iteration (see kmeans_assign for the plan)."""
+    first half of a Lloyd iteration (see kmeans_assign for the plan: one
+    broadcast of the centroids + ONE rank-1 window with the
+    WindowGroupLimit partial top-1; r9 removed the decorrelated join-back
+    that evaluated and shuffled the N×K scored relation twice)."""
     cent = _centroid_frame(e).select(
         F.col("label").alias("cent_label"),
         "c",
@@ -509,18 +535,12 @@ def _assignments(e: DataFrame) -> DataFrame:
             ).alias("dist"),
         )
     )
-    m = scored.groupBy(F.col("vec_id").alias("m_vec_id")).agg(
-        F.min("dist").alias("min_dist")
-    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cent_label"))
     return (
-        scored.join(
-            m,
-            (F.col("vec_id") == F.col("m_vec_id"))
-            & (F.col("dist") == F.col("min_dist")),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("cent_label").alias("assigned_label"),
-             F.first("v").alias("v"))
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_label").alias("assigned_label"), "v")
     )
 
 
@@ -860,8 +880,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             simq.alias("sq"),
         )
     )
-    key = F.format_string(
-        "%07d:%010d", F.col("sq"), F.lit(9_999_999_999) - F.col("c_id")
+    # packed BIGINT sort key (r9): (sq, c_id DESC) lexicographic order as
+    # sq·2^40 + (2^40−1−c_id) — same ordering as the former
+    # printf('%07d:%010d', sq, 9999999999−c_id) string key without a
+    # per-pair string allocation. Bounds: 0 < sq ≤ 3·10^6 < 2^22 and
+    # c_id < 2^40, so the key fits int64 with room to spare.
+    key = (
+        F.col("sq") * F.lit(1 << 40)
+        + (F.lit((1 << 40) - 1) - F.col("c_id"))
     )
     mined = pairs.groupBy("a_id", "a_label").agg(
         F.min_by("c_id", F.when(F.col("same"), key)).alias("hard_pos"),
@@ -969,7 +995,12 @@ def _two_level_cells(e: DataFrame, centroids: DataFrame,
                 F.col("cn").alias("gn"))
     )
     gsim = dot(F.col("cv"), F.col("gv")) / (F.col("cn") * F.col("gn"))
-    wg = Window.partitionBy("cell_id").orderBy(F.desc("gs"), F.asc("g_id"))
+    # All three nearest-of picks below are argmaxes computed as ONE
+    # min(struct(-sim, id)) hash aggregate each (r9, guide §2.3 — they were
+    # rank-1 row_number windows, i.e. a full sort of every scored stream;
+    # the aggregate folds map-side and shuffles ≤1 row per key per
+    # partition). Sims are never NULL/NaN (finite vectors, non-zero norms),
+    # so struct-min ≡ (sim DESC, id ASC) rank 1 exactly.
     # Coarse cells map to THEMSELVES by construction (r8, ADVICE): ranking
     # a coarse cell against the groups can, under float rounding on
     # near-parallel vectors, tie cosine(g, h) with cosine(g, g)=1 for a
@@ -984,29 +1015,30 @@ def _two_level_cells(e: DataFrame, centroids: DataFrame,
         centroids.filter(F.col("cell_id") >= N_QUERIES + n_coarse)
         .crossJoin(F.broadcast(coarse))
         .select("cell_id", "g_id", gsim.alias("gs"))
-        .withColumn("grn", F.row_number().over(wg))
-        .filter(F.col("grn") <= 1)
-        .select("cell_id", "g_id")
+        .groupBy("cell_id")
+        .agg(F.min(F.struct((-F.col("gs")).alias("ns"),
+                            F.col("g_id"))).alias("mn"))
+        .select("cell_id", F.col("mn.g_id").alias("g_id"))
     )
     vsim = dot(F.col("v"), F.col("gv")) / (F.col("nrm") * F.col("gn"))
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("vs"), F.asc("g_id"))
     vec2coarse = (
         e.crossJoin(F.broadcast(coarse))
         .select("vec_id", "g_id", vsim.alias("vs"))
-        .withColumn("vrn", F.row_number().over(wv))
-        .filter(F.col("vrn") <= 1)
-        .select("vec_id", "g_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("vs")).alias("ns"),
+                            F.col("g_id"))).alias("mn"))
+        .select("vec_id", F.col("mn.g_id").alias("g_id"))
     )
     fsim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    wf = Window.partitionBy("vec_id").orderBy(F.desc("fs"), F.asc("cell_id"))
     return (
         e.join(vec2coarse, "vec_id")
         .join(F.broadcast(fine2coarse), "g_id")
         .join(F.broadcast(centroids), "cell_id")
         .select("vec_id", "cell_id", fsim.alias("fs"))
-        .withColumn("crn", F.row_number().over(wf))
-        .filter(F.col("crn") <= 1)
-        .select("vec_id", "cell_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("fs")).alias("ns"),
+                            F.col("cell_id"))).alias("mn"))
+        .select("vec_id", F.col("mn.cell_id").alias("cell_id"))
     )
 
 

@@ -160,24 +160,31 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-25 tokens: reports exact vs estimated count per token (estimate =
     min over the sketch's 4 rows; CMS guarantees estimate >= exact).
 
-    Built entirely as DataFrame composition: explode tokens → explode 4
-    seeded md5 hash rows → groupBy (row, cell) count is THE sketch (4096
-    cells regardless of input size — the fixed-size summary you ship to the
-    driver or merge across 100 TB shards by cell-wise addition). The probe
-    joins each heavy hitter's 4 cells against the sketch and takes min().
+    Built entirely as DataFrame composition: explode tokens → count per
+    token → explode 4 seeded md5 hash rows over the VOCABULARY → groupBy
+    (row, cell) sum-of-frequencies is THE sketch (4096 cells regardless of
+    input size — the fixed-size summary you ship to the driver or merge
+    across 100 TB shards by cell-wise addition). Aggregating BEFORE hashing
+    (r9, guide §2.3 "aggregate before you shuffle") is exact: a token's 4
+    cells depend only on the token, so summing its frequency into those
+    cells yields bit-identically the occurrence-count sketch while the
+    md5 + explode work drops from 4 per occurrence to 4 per distinct token
+    and the frequency aggregate itself folds map-side. The probe joins
+    each heavy hitter's 4 cells against the sketch and takes min().
     Hashing is md5-derived, so the DuckDB oracle rebuilds the identical
     sketch bit-for-bit."""
     from ..functions.hashing import md5_long
 
     d = table(spark, sf_dir, "documents")
-    # the token stream feeds both the sketch build and the exact probe —
-    # persist it once PER SESSION (in production you ship only the sketch
-    # and the exact side doesn't exist; here it's the accuracy ground truth)
-    toks = session_persist(spark, f"cms_toks:{sf_dir}", lambda: d.select(
+    # the token FREQUENCY table feeds both the sketch build and the exact
+    # probe — persist it once PER SESSION (vocabulary-sized; was the raw
+    # exploded occurrence stream before r9). In production you ship only
+    # the sketch and the exact side doesn't exist; here it's ground truth.
+    tf = session_persist(spark, f"cms_tf:{sf_dir}", lambda: d.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
-    ))
-    cells = toks.select(
-        "token",
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("exact_n")))
+    cells = tf.select(
+        "exact_n",
         F.explode(
             F.array(
                 *[
@@ -194,13 +201,12 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("rc"),
-    ).select("token", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
-    sketch = cells.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("c"))
+    ).select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"),
+             "exact_n")
+    sketch = cells.groupBy("row", "cell").agg(F.sum("exact_n").alias("c"))
 
     exact = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("token"))
+        tf.orderBy(F.desc("exact_n"), F.asc("token"))
         .limit(CMS_PROBE_K)
     )
     probe = exact.select(

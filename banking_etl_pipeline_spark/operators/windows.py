@@ -202,15 +202,21 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost ≈ sort-merge of the two inputs.
 
     Orders are first deduped to one per (custkey, date) — ties broken by max
-    orderkey — because "the" as-of row must be unique for determinism.
+    orderkey — because "the" as-of row must be unique for determinism. The
+    dedup is a rank-1 row_number window (r9, guide §2.4 — the former
+    groupBy-max + join-back scanned and shuffled orders twice; rn=1 under
+    orderkey DESC is the same row, and WindowGroupLimit reduces it to a
+    per-partition top-1 before the exchange).
     """
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
 
+    w1 = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
     o1 = (
-        o.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .join(o, ["o_custkey", "o_orderdate", "o_orderkey"])
+        o.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
     # NOTE: orders span 1995-2001, events 2024 → every event matches the
     # customer's last order; the frame logic is still exercised end-to-end.
@@ -546,15 +552,18 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. downsample events → (user, hour) integer-cents average — one hash
        aggregate (the only full-data shuffle);
-    2. per-user dense hour spine via `sequence(min_hr, max_hr, 1h)` +
-       explode — generated from the tiny per-user min/max aggregate, never
-       from raw events;
-    3. left join spine←hourly (both already hashed by user) + one
-       `last(value, ignorenulls)` window for the carry-forward.
+    2. one `lead(hr)` window over the hourly rollup, then each observed
+       hour EXPLODES its own span `sequence(hr, next_hr − 1h, 1h)`
+       carrying its value forward (r9, guide §2.4: the former
+       spine-generate → left-join-back → locf-window plan paid a second
+       per-user aggregate, a (user, hr) join exchange on both sides and a
+       second window sort; the carry identity — between two observations
+       the last non-null value IS the earlier observation's — makes the
+       join and the locf window redundant).
 
     The average is carried as exact integer cents divided once at the end,
     so Spark and DuckDB agree bit-for-bit. At 100 TB the spine is
-    |users|·|hours| ≪ |events| and the locf window sorts only the
+    |users|·|hours| ≪ |events| and the lead window sorts only the
     downsampled rollup — gap filling costs less than the downsample itself.
     """
     e = table(spark, sf_dir, "events")
@@ -570,31 +579,34 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    w = Window.partitionBy("user_id").orderBy("hr")
+    avg_c = (F.col("sum_cents").cast("double")
+             / (F.lit(100.0) * F.col("n_events")))
+    spanned = (
+        hourly.withColumn("nxt", F.lead("hr").over(w))
         .select(
             "user_id",
+            F.col("hr").alias("obs_hr"),
+            "n_events",
+            avg_c.alias("value_locf"),
             F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    "hr",
+                    F.coalesce(
+                        F.col("nxt") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hr"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("hr"),
         )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    avg_c = (F.col("sum_cents").cast("double")
-             / (F.lit(100.0) * F.col("n_events")))
-    return (
-        spine.join(hourly, ["user_id", "hr"], "left")
-        .select(
-            "user_id",
-            "hr",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.last(avg_c, ignorenulls=True).over(w).alias("value_locf"),
-        )
+    return spanned.select(
+        "user_id",
+        "hr",
+        F.when(F.col("hr") == F.col("obs_hr"), F.col("n_events"))
+        .otherwise(F.lit(0)).alias("n_events"),
+        "value_locf",
     )
 
 

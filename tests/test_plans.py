@@ -498,13 +498,36 @@ def test_bm25_no_python_no_explode_join(spark, sf_dir, queries):
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
 
 
-def test_basket_pairs_semi_then_equi(spark, sf_dir, queries):
-    """The basket cap must plan as a semi join and pair generation as an
-    equi join on the order key — never a nested-loop pair product."""
+def test_basket_pairs_window_cap_then_equi(spark, sf_dir, queries):
+    """The basket cap must plan as a count() window on the orderkey
+    partition (r9: was a size aggregate + semi join-back — one extra
+    shuffle and two extra evaluations of the deduped line list) and pair
+    generation as an equi join on the order key — never a nested-loop
+    pair product."""
     p = plan_of(_build(queries, spark, sf_dir, "basket_pairs"))
-    assert "LeftSemi" in p
+    assert "Window" in p
+    assert "LeftSemi" not in p  # the join-back must not come back
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_argmin_group_limit(spark, sf_dir, queries):
+    """The kmeans argmin is a rank-1 window with Spark's WindowGroupLimit
+    partial top-1 before the exchange (r9: was a groupBy-min + equality
+    join-back that evaluated and shuffled the N×K scored stream twice —
+    measured 4× slower, scripts/argmin_experiment.py)."""
+    for key in ("kmeans_assign", "kmeans_update"):
+        p = plan_of(_build(queries, spark, sf_dir, key))
+        assert "WindowGroupLimit" in p, key
+        assert "SortMergeJoin" not in p, key  # join-back must not return
+
+
+def test_gap_fill_no_join(spark, sf_dir, queries):
+    """gap_fill carries locf through ONE lead() window + explode — the
+    spine join and the second (locf) window must stay gone (r9)."""
+    p = plan_of(_build(queries, spark, sf_dir, "gap_fill"))
+    assert "Join" not in p
+    assert "Generate" in p  # the span explode
 
 
 def test_fifo_allocation_equi_join_with_residual(spark, sf_dir, queries):
