@@ -436,10 +436,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dup_clusters_cached(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = clusters.join(docs, "doc_id")
-    key = F.format_string(
-        "%010d:%010d",
+    # struct sort key (n_chars desc-tiebreak form): same winner as the
+    # oracle's printf string key without a per-member string alloc (r9)
+    key = F.struct(
         F.col("n_chars"),
-        F.lit(9_999_999_999) - F.col("doc_id"),
+        (F.lit(9_999_999_999) - F.col("doc_id")).alias("nk"),
     )
     survivors = (
         members.select("cluster_id", "doc_id", "n_chars", key.alias("k"))
@@ -1016,9 +1017,8 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bucket = buckets.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    key = F.format_string(
-        "%010d:%010d", F.col("c"), F.lit(10**9) - F.col("bucket")
-    )
+    # struct key: (count, bucket-asc tiebreak) — r9, no per-bucket string
+    key = F.struct(F.col("c"), (F.lit(10**9) - F.col("bucket")).alias("nb"))
     return per_bucket.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("nnz"),
         F.sum("c").alias("l1"),

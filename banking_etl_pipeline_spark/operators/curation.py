@@ -199,8 +199,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["in_doc", "corpus_doc"])
         .select("in_doc", "corpus_doc", n_match.alias("n_match"))
     )
-    best_key = F.format_string(
-        "%02d:%010d", F.col("n_match"), F.lit(9_999_999_999) - F.col("corpus_doc")
+    # struct key: (n_match, corpus_doc-asc tiebreak) — r9, same winner as
+    # the oracle's printf key without a per-candidate string alloc
+    best_key = F.struct(
+        F.col("n_match"),
+        (F.lit(9_999_999_999) - F.col("corpus_doc")).alias("nd"),
     )
     per_doc = cand.groupBy("in_doc").agg(
         F.count(F.lit(1)).alias("n_candidates"),

@@ -98,9 +98,9 @@ def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor MERGE snapshot build cheap.
     """
     e = table(spark, sf_dir, "events")
-    key = F.format_string(
-        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
-    )
+    # struct (micros, event_id) sort key: same total order as the
+    # oracle's zero-padded printf key, no per-event string alloc (r9)
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id"))
     return (
         e.select("user_id", "ts", "event_type", "value", key.alias("k"))
         .groupBy("user_id")
@@ -462,9 +462,8 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", F.lit("D"))
         .otherwise(F.lit("U"))
     )
-    key = F.format_string(
-        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
-    )
+    # struct (micros, event_id) key — r9, same order as the printf form
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id"))
     applied = (
         e.select(
             "user_id",

@@ -1082,8 +1082,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = _ivf_assignments(e, centroids, 1, "vec_id")
     else:
         cells = _two_level_cells(e, centroids, n_coarse)
+    # vectors are attached ONLY where the pair scan needs them (r9, guide
+    # §2.3: shuffle keys and metadata, not payloads) — cell sizes and the
+    # final id-level report run on the bare (vec_id, cell_id) assignment,
+    # so the e-join with its 64-double payload is evaluated once (its two
+    # pair-scan sides share one exchange), not in four branches, and the
+    # sizes relation shrinks to C rows BEFORE it joins (AQE broadcasts it
+    # at small scale; at 100 TB it stays an equi-join on cell_id).
     members = cells.join(e, "vec_id")
-    sizes = members.groupBy("cell_id").agg(
+    sizes = cells.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("cell_size")
     )
     a = members.select(
@@ -1104,8 +1111,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_lower"))
     )
     return (
-        members.select("vec_id", "cell_id")
-        .join(sizes, "cell_id")
+        cells.join(sizes, "cell_id")
         .join(
             dup_of_bigger.withColumnRenamed("b_id", "vec_id"), "vec_id",
             "left",

@@ -851,16 +851,15 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("freq").alias("n_rows"),
         F.max("freq").alias("max_freq"),
-        # sortable string key (freq desc, key asc): lexicographic max ==
-        # (max freq, then smallest key) — deterministic under ties, and
-        # accepted by arg_max/max_by in both engines
+        # sortable struct key (freq desc, key asc): struct max == (max
+        # freq, then smallest key) — deterministic under ties, same winner
+        # as the oracle's printf string key, without allocating a 40-char
+        # string per distinct key (r9; max_by accepts any orderable type,
+        # and unlike a packed integer the struct cannot overflow at any
+        # freq/key magnitude)
         F.max_by(
             "key",
-            F.format_string(
-                "%019d:%019d",
-                F.col("freq"),
-                F.lit(10**18) - F.col("key"),
-            ),
+            F.struct(F.col("freq"), (F.lit(10**18) - F.col("key")).alias("nk")),
         ).alias("hottest_key"),
     )
 

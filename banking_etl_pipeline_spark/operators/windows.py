@@ -509,12 +509,11 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw 100 TB ticks into a bounded rollup table; re-aggregating a coarser
     grain (hour → day) reuses the same plan over the rollup."""
     e = table(spark, sf_dir, "events")
-    # unique sortable key: zero-padded "epoch-µs:event_id" string —
-    # lexicographic order == (ts, event_id) order, no int64 overflow, and
-    # arg_min/min_by accept it in both engines
-    key = F.format_string(
-        "%020d:%010d", F.unix_micros(F.col("ts")), F.col("event_id")
-    )
+    # unique sortable key: (epoch-µs, event_id) STRUCT — same total order
+    # as the former zero-padded string key (the oracle keeps its printf
+    # form; winners are identical) without a per-event string alloc (r9);
+    # min_by/max_by accept any orderable type
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id"))
     return (
         e.select(
             F.date_trunc("hour", F.col("ts")).alias("bucket"),
