@@ -175,12 +175,16 @@ FROM chunks
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most frequent whitespace tokens across the corpus, exact.
-    Ties broken by token string so the top-k cut is deterministic."""
-    d = table(spark, sf_dir, "documents")
+    Ties broken by token string so the top-k cut is deterministic.
+    Rides the session-persisted shared token-frequency table (r9 —
+    cms_topk builds the identical aggregate; previously the CacheManager
+    substituted that cache here implicitly whenever cms ran first, now
+    the sharing is explicit and deterministic)."""
+    from .skew import token_frequencies
+
     return (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        token_frequencies(spark, sf_dir)
+        .select("token", F.col("exact_n").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(HEAVY_HITTERS_K)
     )

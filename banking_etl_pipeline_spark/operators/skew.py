@@ -155,6 +155,18 @@ CMS_WIDTH = 1024
 CMS_PROBE_K = 25  # exact top-k tokens probed against the sketch
 
 
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus token-frequency table (token, exact_n), session-
+    persisted once (vocabulary-sized). Shared by cms_topk (sketch build +
+    probe ground truth) and sampling.heavy_hitters (r9 — the two keys
+    used to rebuild the same aggregate; one materialization, two
+    consumers, the `_bands_for` precedent)."""
+    d = table(spark, sf_dir, "documents")
+    return session_persist(spark, f"cms_tf:{sf_dir}", lambda: d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("exact_n")))
+
+
 def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch over the corpus token stream, probed with the exact
     top-25 tokens: reports exact vs estimated count per token (estimate =
@@ -175,14 +187,7 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch bit-for-bit."""
     from ..functions.hashing import md5_long
 
-    d = table(spark, sf_dir, "documents")
-    # the token FREQUENCY table feeds both the sketch build and the exact
-    # probe — persist it once PER SESSION (vocabulary-sized; was the raw
-    # exploded occurrence stream before r9). In production you ship only
-    # the sketch and the exact side doesn't exist; here it's ground truth.
-    tf = session_persist(spark, f"cms_tf:{sf_dir}", lambda: d.select(
-        F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).groupBy("token").agg(F.count(F.lit(1)).alias("exact_n")))
+    tf = token_frequencies(spark, sf_dir)
     cells = tf.select(
         "exact_n",
         F.explode(
