@@ -437,8 +437,12 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe(probe_keys: DataFrame) -> DataFrame:
         cells = probe_keys.select("key", positions(F.col("key")).alias("pos"))
+        # bits is bounded by BLOOM_M (2^17 positions) at ANY corpus size —
+        # broadcast it explicitly (r9, guide §3.1/§3.2: the probe side must
+        # never shuffle for this join; AQE happened to pick broadcast from
+        # size estimates already, this pins the scale-safe strategy)
         hits = (
-            cells.join(bits, "pos")
+            cells.join(F.broadcast(bits), "pos")
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("n_hit"))
             .filter(F.col("n_hit") == BLOOM_K)
