@@ -53,11 +53,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.numeric import ftrunc, sql_ftrunc
-from ..functions.vectors import dot
 from ..session import session_persist
 from ..spec import QuerySpec
 from .dedup import DEDUP_MAX_BAND_BITS, DEDUP_TARGET_BUCKET
-from .similarity import _SQL_PLANE, BAND_BITS, N_BANDS, _corpus
+from .similarity import _SQL_PLANE, BAND_BITS, N_BANDS
 
 SRC_LANG = "en"
 K_MARGIN = 4     # neighborhood size for the margin normalizer
@@ -79,41 +78,37 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     families share one signature index per session. At ≤2048 vectors this
     resolves to the historical bb=6 — identical candidates, identical
     output."""
-    from .dedup import dedup_band_bits
-    from .lshscale import _bands_for
-    from ..session import session_scalar
+    from .dedup import pair_cos_cached
 
-    n = session_scalar(
-        spark, f"embeddings_count:{sf_dir}",
-        lambda: table(spark, sf_dir, "embeddings").count(),
-    )
+    # r10 (r9 VERDICT item 2): the candidate+verify stage is the SHARED
+    # `pair_cos_cached` materialization (all base-geometry band-collision
+    # pairs vec_a < vec_b with exact cosine) — one verify join per session
+    # for this family AND the dedup detector, instead of two. A collision
+    # pair {x, y} is a bitext candidate iff its langs are mixed en/non-en;
+    # the en side becomes src regardless of id order. The cosine double is
+    # orientation-independent (per-element products commute, the fold order
+    # is the index order), so c6 = floor(cos·1e6) is bit-identical to the
+    # old src⋈tgt scoring and the oracle replay.
+    pc = pair_cos_cached(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    bl = _bands_for(spark, sf_dir, N_BANDS, dedup_band_bits(n)).join(
-        d, F.col("vec_id") == F.col("doc_id")
-    ).select("vec_id", "band", "sig", "lang")
-    src = bl.filter(F.col("lang") == SRC_LANG).select(
-        F.col("vec_id").alias("src_id"), "band", "sig"
-    )
-    tgt = bl.filter(F.col("lang") != SRC_LANG).select(
-        F.col("vec_id").alias("tgt_id"), F.col("lang").alias("tgt_lang"),
-        F.col("band").alias("tband"), F.col("sig").alias("tsig"),
-    )
-    cand = (
-        src.join(tgt, (F.col("band") == F.col("tband"))
-                 & (F.col("sig") == F.col("tsig")))
-        .select("src_id", "tgt_id", "tgt_lang")
-        .distinct()
-    )
-    e = _corpus(spark, sf_dir)
-    s = e.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"),
-                 F.col("nrm").alias("sn_"))
-    t = e.select(F.col("vec_id").alias("tgt_id"), F.col("v").alias("tv"),
-                 F.col("nrm").alias("tn_"))
-    cos = dot(F.col("sv"), F.col("tv")) / (F.col("sn_") * F.col("tn_"))
+    la = d.select(F.col("doc_id").alias("vec_a"),
+                  F.col("lang").alias("lang_a"))
+    lb = d.select(F.col("doc_id").alias("vec_b"),
+                  F.col("lang").alias("lang_b"))
+    ab = (F.col("lang_a") == SRC_LANG) & (F.col("lang_b") != SRC_LANG)
+    ba = (F.col("lang_b") == SRC_LANG) & (F.col("lang_a") != SRC_LANG)
     return (
-        cand.join(s, "src_id").join(t, "tgt_id")
-        .select("src_id", "tgt_id", "tgt_lang",
-                F.floor(cos * F.lit(1e6)).alias("c6"))
+        pc.join(la, "vec_a").join(lb, "vec_b")
+        .filter(ab | ba)
+        .select(
+            F.when(ab, F.col("vec_a")).otherwise(F.col("vec_b"))
+            .alias("src_id"),
+            F.when(ab, F.col("vec_b")).otherwise(F.col("vec_a"))
+            .alias("tgt_id"),
+            F.when(ab, F.col("lang_b")).otherwise(F.col("lang_a"))
+            .alias("tgt_lang"),
+            F.floor(F.col("cosine_sim") * F.lit(1e6)).alias("c6"),
+        )
     )
 
 

@@ -507,22 +507,27 @@ def dedup_band_bits(n: int) -> int:
     return DEDUP_MAX_BAND_BITS
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH banded candidate generation +
-    exact cosine verification (VERDICT r1 item 4 — the previous all-pairs
-    `a.vec_id < b.vec_id` form planned as a BroadcastNestedLoopJoin, O(n²)
-    at any scale).
+def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base-geometry verify stage: every sign-LSH band-collision pair
+    (vec_a < vec_b) with its exact cosine, UNFILTERED. This is the stage
+    two operator families consume (r9 VERDICT item 2 — the largest
+    remaining compute tier was this verify join computed twice per
+    session): `dedup_embedding_cosine` thresholds it at
+    COSINE_DUP_THRESHOLD, and the bitext miner (`bitext._scored`) derives
+    its en×non-en candidate cosines from the same pairs (the cosine double
+    is orientation-independent: per-element products commute and the fold
+    order is the index order, so floor(cos·1e6) is bit-identical).
 
     Candidates come from a self-equi-join of sign-LSH band signatures on
     (band, signature) — the same md5-derived hyperplane family the ANN path
-    and its DuckDB oracle replay, so the candidate set (and therefore the
-    output) is deterministic and oracle-checked end-to-end. Band width is
-    corpus-derived (`dedup_band_bits`, r7: the r6-measured quadratic cliff
-    fix) so the candidate budget stays linear in N; at the base geometry
-    the band table delegates to the shared `similarity.lsh_bands_cached`
-    materialization. Each surviving candidate pays one exact cosine; recall
-    is probabilistic per banding theory while precision is exact — every
-    emitted pair truly clears COSINE_DUP_THRESHOLD."""
+    and its DuckDB oracle replay, so the candidate set (and therefore every
+    consumer's output) is deterministic and oracle-checked end-to-end. Band
+    width is corpus-derived (`dedup_band_bits`, r7: the r6-measured
+    quadratic cliff fix) so the candidate budget stays linear in N; at the
+    base geometry the band table delegates to the shared
+    `similarity.lsh_bands_cached` materialization. Each surviving candidate
+    pays one exact cosine; recall is probabilistic per banding theory while
+    precision is exact."""
     from .lshscale import _bands_for
     from .similarity import N_BANDS as EMB_BANDS
     from ..session import session_scalar
@@ -563,7 +568,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def pair_cos_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted `_pair_cos` — the write-the-verify-stage-once step
+    of a real pipeline (same lifecycle/justification as
+    `similarity.lsh_bands_cached`, one tier further: the detector and the
+    bitext miner both read the verified candidate cosines)."""
+    return session_persist(
+        spark, f"dedup_pair_cos:{sf_dir}", lambda: _pair_cos(spark, sf_dir)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH banded candidate generation +
+    exact cosine verification (VERDICT r1 item 4 — the previous all-pairs
+    `a.vec_id < b.vec_id` form planned as a BroadcastNestedLoopJoin, O(n²)
+    at any scale). The candidate+verify stage is shared with the bitext
+    family (`pair_cos_cached`); this detector is the threshold gate over
+    it — every emitted pair truly clears COSINE_DUP_THRESHOLD."""
+    return pair_cos_cached(spark, sf_dir).filter(
+        F.col("cosine_sim") >= COSINE_DUP_THRESHOLD
     )
 
 

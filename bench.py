@@ -371,18 +371,37 @@ def main() -> None:
             "queries": dict(part),
             "sf": sf,
         }))
+    # r10 (r9 VERDICT item 1a — PERF per_query was empty two rounds running
+    # because the driver could not reassemble the chunked part lines): emit
+    # the COMPLETE per-query dict once more in the two driver-parseable
+    # forms the verdict prescribed, in addition to the part lines above:
+    #   1. ONE compact {"metric": "per_query_sec", "queries": {...}} line
+    #      immediately before the headline (ascending order, so the slowest
+    #      keys survive any tail truncation);
+    #   2. the same payload written to BENCH_LAST.json next to this script
+    #      (headline carries the pointer), which no stdout window can cut.
+    full_payload = {
+        "metric": "per_query_sec",
+        "queries": dict(ordered),
+        "sf": sf,
+    }
+    print(json.dumps(full_payload))
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "per_query_file": "BENCH_LAST.json",
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+            json.dump({**headline, "queries": dict(ordered)}, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    print(json.dumps(headline))
     spark.stop()
 
 
