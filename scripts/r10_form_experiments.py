@@ -206,6 +206,63 @@ def old_sweep(spark, sf_dir):
     )
 
 
+def old_dedup_incremental(spark, sf_dir):
+    """r9-pre form: max_by key as the zero-padded printf STRING (one string
+    alloc per candidate) instead of the struct key — the r10 re-settle of
+    the r9 paired regression (0.24 -> 0.32 s, inside noise; VERDICT item
+    4)."""
+    from banking_etl_pipeline_spark.operators.curation import (
+        INC_MOD,
+        N_HASHES,
+        md5_long,
+        minhash_bands_cached,
+    )
+
+    bands = minhash_bands_cached(spark, sf_dir)
+    incoming_flag = md5_long(
+        F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))
+    ) % INC_MOD == 0
+    bands = bands.withColumn("inc", incoming_flag)
+    probe = bands.filter("inc").select(
+        F.col("doc_id").alias("in_doc"), F.col("sig").alias("in_sig"),
+        "band", "bh",
+    )
+    index = bands.filter(~F.col("inc")).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("corpus_sig"),
+        "band", "bh",
+    )
+    n_match = F.aggregate(
+        F.zip_with(F.col("in_sig"), F.col("corpus_sig"),
+                   lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    cand = (
+        probe.join(index, ["band", "bh"])
+        .select("in_doc", "corpus_doc", "in_sig", "corpus_sig")
+        .dropDuplicates(["in_doc", "corpus_doc"])
+        .select("in_doc", "corpus_doc", n_match.alias("n_match"))
+    )
+    best_key = F.format_string(
+        "%02d:%010d", F.col("n_match"),
+        F.lit(9_999_999_999) - F.col("corpus_doc"))
+    per_doc = cand.groupBy("in_doc").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("n_match") >= int(0.2 * N_HASHES) + 1).cast("long"))
+        .alias("n_dups"),
+        F.max_by("corpus_doc", best_key).alias("best_match"),
+        F.max("n_match").alias("best_n_match"),
+    )
+    incoming_docs = bands.filter("inc").select(
+        F.col("doc_id").alias("in_doc")).distinct()
+    return incoming_docs.join(per_doc, "in_doc", "left").select(
+        "in_doc",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        "best_match",
+        F.coalesce("best_n_match", F.lit(0)).alias("best_n_match"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -256,6 +313,13 @@ def main():
         ok &= ab("sweep",
                  R.minhash_param_sweep(spark, sf_dir),
                  old_sweep(spark, sf_dir))
+    if "increment" in which:
+        from banking_etl_pipeline_spark.operators.curation import (
+            dedup_incremental,
+        )
+        ok &= ab("increment",
+                 dedup_incremental(spark, sf_dir),
+                 old_dedup_incremental(spark, sf_dir))
     spark.stop()
     return 0 if ok else 1
 
